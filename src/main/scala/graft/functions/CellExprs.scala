@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.types._
+
+/** Codegen'd batched cell-encode expressions (BASELINE.json north_star:
+  * "encodes each derived point/polygon into H3 (res 0-12) and S2 cell IDs
+  * via a codegen'd batched UDF"; SURVEY.md §4.2). Each expression emits a
+  * static call into the pure-Scala cell math, so it stays inside
+  * whole-stage codegen — no closure, no serialization, no boxing — the
+  * Spark-idiomatic replacement for the reference's vectorized NumPy column
+  * kernels (reference: mvt/matrix.py passim).
+  */
+abstract class GeoTernaryExpression extends TernaryExpression
+    with Serializable {
+  override def nullable: Boolean = first.nullable || second.nullable || third.nullable
+}
+
+/** s2_cell(lat, lon, level) → Long — exact S2 cell id. */
+case class S2CellIdExpr(first: Expression, second: Expression, third: Expression)
+    extends GeoTernaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "s2_cell"
+  override protected def nullSafeEval(lat: Any, lon: Any, level: Any): Any =
+    graft.core.S2.cellId(lat.asInstanceOf[Double], lon.asInstanceOf[Double],
+      level.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lat, lon, lvl) =>
+      s"graft.core.S2.cellId($lat, $lon, $lvl)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+/** hex_cell(lon, lat, res) → Long — H3-style aperture-7 hex cell id. */
+case class HexCellExpr(first: Expression, second: Expression, third: Expression)
+    extends GeoTernaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hex_cell"
+  override protected def nullSafeEval(lon: Any, lat: Any, res: Any): Any =
+    graft.core.HexGrid.cell(lon.asInstanceOf[Double], lat.asInstanceOf[Double],
+      res.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat, res) =>
+      s"graft.core.HexGrid.cell($lon, $lat, $res)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+/** tile_id(lon, lat, zoom) → Long — packed (zoom, x, y) slippy tile id. */
+case class TileIdExpr(first: Expression, second: Expression, third: Expression)
+    extends GeoTernaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "tile_id"
+  override protected def nullSafeEval(lon: Any, lat: Any, zoom: Any): Any = {
+    val z = zoom.asInstanceOf[Int]
+    graft.core.WebMercator.tileId(z,
+      graft.core.WebMercator.tileX(lon.asInstanceOf[Double], z),
+      graft.core.WebMercator.tileY(lat.asInstanceOf[Double], z))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat, z) =>
+      s"graft.core.WebMercator.tileId($z, graft.core.WebMercator.tileX($lon, $z), " +
+        s"graft.core.WebMercator.tileY($lat, $z))")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+/** Column-level API + SQL registration. */
+object geo {
+  import org.apache.spark.sql.GraftBridge.{column, expression}
+
+  def s2_cell(lat: Column, lon: Column, level: Column): Column =
+    column(S2CellIdExpr(expression(lat), expression(lon), expression(level)))
+  def hex_cell(lon: Column, lat: Column, res: Column): Column =
+    column(HexCellExpr(expression(lon), expression(lat), expression(res)))
+  def tile_id(lon: Column, lat: Column, zoom: Column): Column =
+    column(TileIdExpr(expression(lon), expression(lat), expression(zoom)))
+
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("s2_cell", es => S2CellIdExpr(es(0), es(1), es(2)), "builtin")
+    reg.createOrReplaceTempFunction("hex_cell", es => HexCellExpr(es(0), es(1), es(2)), "builtin")
+    reg.createOrReplaceTempFunction("tile_id", es => TileIdExpr(es(0), es(1), es(2)), "builtin")
+  }
+}

@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Codegen'd float-embedding expressions: cosine, dot, random-hyperplane
+  * LSH signature — the similarity-search kernel surface.
+  */
+case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.core.VecKernels.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.core.VecKernels.cosineF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
+case class DotExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.core.VecKernels.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.core.VecKernels.dotF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
+case class RpSignatureExpr(child: Expression, nBits: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rp_signature"
+  override protected def nullSafeEval(a: Any): Any =
+    graft.core.VecKernels.rpSignature(a.asInstanceOf[ArrayData], nBits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.core.VecKernels.rpSignature($a, $nBits, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object vec {
+  import org.apache.spark.sql.GraftBridge.{column, expression}
+
+  def cosine_sim(a: Column, b: Column): Column =
+    column(CosineSimExpr(expression(a), expression(b)))
+  def dot(a: Column, b: Column): Column =
+    column(DotExpr(expression(a), expression(b)))
+  def rp_signature(a: Column, nBits: Int, seed: Long): Column =
+    column(RpSignatureExpr(expression(a), nBits, seed))
+}

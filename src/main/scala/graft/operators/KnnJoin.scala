@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.HexGrid
+import graft.functions.geo
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** hex_kring(cell, k) → array<bigint> of cells within ring distance k. */
+case class HexKRingExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hex_kring"
+  override protected def nullSafeEval(cell: Any, k: Any): Any =
+    new GenericArrayData(HexGrid.kRing(cell.asInstanceOf[Long], k.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (cell, k) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.core.HexGrid.kRing($cell, $k))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
+/** Exact k-nearest-neighbor join via hex cell-ring expansion (BASELINE.json
+  * north_star: "computes kNN via cell-ring expansion"). Two-phase exact
+  * algorithm — no driver loop over data, both phases are joins:
+  *
+  *  phase 1 (probe): join queries to points in kRing(qcell, probeRings) →
+  *    per-query candidate distances → kth-distance upper bound d_k.
+  *    Queries with < k candidates fall back to a conservative global bound.
+  *  phase 2 (guarantee): expand each query to every cell within ring
+  *    distance ceil(d_k/inradius)+1 — geometry guarantees every true
+  *    neighbor is inside — join, rank, take k. Exact by construction.
+  *
+  * Distance metric: squared planar degrees (matches the SQL oracle).
+  */
+object KnnJoin {
+  import org.apache.spark.sql.GraftBridge.{column, expression}
+
+  def hex_kring(cell: Column, k: Column): Column =
+    column(HexKRingExpr(expression(cell), expression(k)))
+
+  private def d2(qLon: Column, qLat: Column, pLon: Column, pLat: Column): Column =
+    (qLon - pLon) * (qLon - pLon) + (qLat - pLat) * (qLat - pLat)
+
+  /** queries(q_id, q_lon, q_lat) × points(p_id, lon, lat) → top-k rows
+    * (q_id, p_id, dist2, rank). `res` picks the grid granularity;
+    * `probeRings` the phase-1 neighborhood.
+    */
+  def knn(queries: DataFrame, points: DataFrame, k: Int, res: Int = 4,
+          probeRings: Int = 2): DataFrame = {
+    val inradius = HexGrid.radius(res) * math.sqrt(3.0) / 2.0
+    val pts = points
+      .withColumn("__pcell", geo.hex_cell(col("lon"), col("lat"), lit(res)))
+    val qs = queries
+      .withColumn("__qcell", geo.hex_cell(col("q_lon"), col("q_lat"), lit(res)))
+
+    // ---- phase 1: probe neighborhood → per-query kth-distance bound
+    val probe = qs
+      .withColumn("__cell", explode(hex_kring(col("__qcell"), lit(probeRings))))
+      .join(pts, col("__cell") === col("__pcell"))
+      .withColumn("__d2", d2(col("q_lon"), col("q_lat"), col("lon"), col("lat")))
+    val wq = Window.partitionBy("q_id").orderBy(col("__d2").asc)
+    val bounds = probe
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= k)
+      .groupBy("q_id")
+      .agg(max(col("__d2")).as("__dk"), count(lit(1)).as("__found"))
+      .select(col("q_id"),
+        when(col("__found") >= k, sqrt(col("__dk"))).as("__radius"))
+
+    val qsWithR = qs.join(bounds, Seq("q_id"), "left")
+    val filled = qsWithR.filter(col("__radius").isNotNull)
+      .withColumn("__rings", ceil(col("__radius") / inradius).cast("int") + lit(1))
+    // queries whose probe neighborhood held < k points (sparse regions —
+    // rare at planetary density): exact brute-force branch, no silent cap
+    val sparse = qsWithR.filter(col("__radius").isNull)
+
+    // ---- phase 2: guaranteed-coverage join + exact top-k
+    val cand = filled
+      .withColumn("__cell", explode(hex_kring(col("__qcell"), col("__rings"))))
+      .join(pts, col("__cell") === col("__pcell"))
+      .withColumn("dist2", d2(col("q_lon"), col("q_lat"), col("lon"), col("lat")))
+      .select("q_id", "p_id", "dist2")
+    val candSparse = sparse
+      .select("q_id", "q_lon", "q_lat")
+      .crossJoin(pts)
+      .withColumn("dist2", d2(col("q_lon"), col("q_lat"), col("lon"), col("lat")))
+      .select("q_id", "p_id", "dist2")
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("dist2").asc, col("p_id").asc)
+    cand.unionByName(candSparse)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("p_id"), round(col("dist2"), 9).as("dist2"), col("rank"))
+  }
+}

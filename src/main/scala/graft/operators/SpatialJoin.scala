@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.geo
+import graft.sources.AdminPolygons
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.types._
+
+/** pip_contains(admin_id, lon, lat) — exact point-in-polygon against the
+  * deterministic admin registry; codegen'd static call (no closure, no
+  * broadcast needed: the registry is a pure function of a fixed seed and
+  * materializes identically in every executor JVM).
+  */
+case class PipContainsExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "pip_contains"
+  override protected def nullSafeEval(id: Any, lon: Any, lat: Any): Any =
+    AdminPolygons.contains(id.asInstanceOf[Long], lon.asInstanceOf[Double],
+      lat.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (id, lon, lat) =>
+      s"graft.sources.AdminPolygons.contains($id, $lon, $lat)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+/** Broadcast point-in-polygon join via hex-cell prefix (BASELINE.json
+  * north_star: "point-in-polygon joins against admin-boundary polygons
+  * using a broadcast R-tree per H3 cell prefix").
+  *
+  * Plan shape (the reference's broadcast-normalize join, SURVEY.md §2.3):
+  *   points(lon,lat) --hex_cell(res)--> equi-join BROADCAST(polygon cell
+  *   cover) --> exact PIP filter (codegen'd) --> (point, admin_id) rows.
+  *
+  * The cover side is tiny (≈10-40 cells × ~80 polygons), so Catalyst picks
+  * BroadcastHashJoin; the per-row exact test only runs on cell-collocated
+  * candidates. At 100 TB this is shuffle-free on the big side.
+  */
+object SpatialJoin {
+  import org.apache.spark.sql.GraftBridge.{column, expression}
+
+  def pip_contains(adminId: Column, lon: Column, lat: Column): Column =
+    column(PipContainsExpr(expression(adminId), expression(lon), expression(lat)))
+
+  /** Cell-cover DataFrame of the admin registry at `res`. */
+  def polygonCover(spark: SparkSession, res: Int = AdminPolygons.CoverRes,
+                   level: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val polys = level.fold(AdminPolygons.all)(l => AdminPolygons.all.filter(_.level == l))
+    polys.flatMap(p => AdminPolygons.cellCover(p, res).map(c => (c, p.adminId, p.name)))
+      .toDF("cover_cell", "admin_id", "admin_name")
+  }
+
+  /** Join `points` (must have `lon`, `lat` double columns) against the
+    * admin registry; returns input columns + admin_id + admin_name.
+    * Inner join: points matching no polygon drop out (use pipJoinLeft for
+    * the tagging variant).
+    */
+  def pipJoin(points: DataFrame, res: Int = AdminPolygons.CoverRes,
+              level: Option[Int] = None): DataFrame = {
+    val spark = points.sparkSession
+    val cover = polygonCover(spark, res, level)
+    points
+      .withColumn("__cell", geo.hex_cell(col("lon"), col("lat"), lit(res)))
+      .join(broadcast(cover), col("__cell") === col("cover_cell"))
+      .filter(pip_contains(col("admin_id"), col("lon"), col("lat")))
+      .drop("__cell", "cover_cell")
+  }
+
+  /** Left variant: points matching no polygon survive with null admin
+    * columns (the null-test surface: "features outside all polygons join
+    * to nothing"). `keyCol` must uniquely identify a point row.
+    */
+  def pipJoinLeft(points: DataFrame, keyCol: String,
+                  res: Int = AdminPolygons.CoverRes,
+                  level: Option[Int] = None): DataFrame = {
+    val matched = pipJoin(points, res, level)
+    val unmatched = points
+      .join(matched.select(keyCol).distinct(), Seq(keyCol), "left_anti")
+      .withColumn("admin_id", lit(null).cast("long"))
+      .withColumn("admin_name", lit(null).cast("string"))
+    matched.unionByName(unmatched)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines, expressed as pure
+  * Catalyst columns (codegen'd, no UDFs) so they both scale and stay
+  * oracle-checkable in ANSI SQL. Mirrors the reference's per-exposure QC
+  * metrics discipline (reference: mvt/frameqa.py:75 finite-fraction,
+  * mvt/run_mvt_espre.py:171-176 exposures_qc.csv): cheap per-row quality
+  * scalars emitted as first-class columns.
+  */
+object TextAnalysis {
+  /** Whitespace token count (empty string → 0). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** Character count. */
+  def charCount(text: Column): Column = length(text)
+
+  /** Ratio of punctuation chars (.,;:!?) to total chars; 0 for empty. */
+  def punctRatio(text: Column): Column = {
+    val stripped = regexp_replace(text, "[.,;:!?]", "")
+    when(length(text) === 0, lit(0.0))
+      .otherwise((length(text) - length(stripped)).cast("double") / length(text))
+  }
+
+  /** Ratio of words that are English stopwords (fixed 16-word list). */
+  val stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "it", "on", "for", "with", "as", "by", "at")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val stops = filter(toks, t => t.isin(stopwords.map(lit(_)): _*))
+    when(size(toks) === 0 || (size(toks) === 1 && length(trim(text)) === 0), lit(0.0))
+      .otherwise(size(stops).cast("double") / size(toks))
+  }
+
+  /** Mean word length (0 for empty text). */
+  def meanWordLen(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    when(length(trim(text)) === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: length band + punctuation sanity +
+    * stopword presence (a simple public-web-text heuristic; weights pinned).
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / lit(50.0), lit(1.0))
+    val punct = punctRatio(text)
+    val punctScore = when(punct > 0.2, lit(0.0)).otherwise(lit(1.0) - punct * 5.0)
+    val stopScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    round(lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3, 6)
+  }
+
+  /** Language ID over a fixed marker-word table (n-gram-free heuristic:
+    * count language-exclusive stopwords; ties → 'und'). Pure columns.
+    */
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "with", "from", "who", "about"),
+    "de" -> Seq("die", "und", "mit", "das", "durch", "viele"),
+    "fr" -> Seq("la", "les", "avec", "dans", "une", "leurs"),
+    "es" -> Seq("el", "los", "con", "por", "una", "sus"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = split(lower(trim(text)), "\\s+")
+    langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
+    }
+  }
+
+  /** Predicted language: arg-max of marker counts, 'und' when all zero. */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    // arg-max via when() chain; first (alphabetical) language wins ties
+    val maxScore = greatest(scores.map(_._2): _*)
+    val pick = scores.foldRight(lit("und")) { case ((lang, c), acc) =>
+      when(c === maxScore && maxScore > 0, lit(lang)).otherwise(acc)
+    }
+    pick
+  }
+
+  /** 64-bit document fingerprint: polynomial rolling hash over UTF-8 code
+    * units (basis 1000003, like CPython's string hash family). Implemented
+    * as a codegen'd static call.
+    */
+  def fingerprint(text: Column): Column =
+    graft.functions.text.fingerprint64(text)
+}

@@ -1,0 +1,119 @@
+package graft.plans
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Minimal Iceberg-style snapshot/lineage layer (no Iceberg jar ships in
+  * the offline env — SURVEY.md §4.2): Parquet data files + per-partition
+  * metrics + a JSON manifest whose ATOMIC RENAME is the commit point. A
+  * killed job resumes from the last committed snapshot by anti-joining
+  * completed tile_ids — no completed tile is re-encoded.
+  *
+  * This is the reference's per-stage QA-table discipline made transactional
+  * (reference: mvt/run_mvt_espre.py:171-176,246-252 QA CSVs;
+  * mvt/saveio.py:30-38 append-once summary semantics).
+  *
+  * Layout under `root`:
+  *   data/snap-N/       tile parquet (written before commit)
+  *   metrics/snap-N/    per-partition lineage parquet
+  *   manifests/snap-N.json   commit marker (atomic rename, written LAST)
+  */
+object Lineage {
+  final case class Snapshot(id: Long, rows: Long, bytes: Long)
+
+  private def manifestDir(root: String) = Paths.get(root, "manifests")
+
+  /** Committed snapshot ids, ascending. */
+  def committedSnapshots(root: String): Seq[Long] = {
+    val dir = manifestDir(root)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val it = Files.list(dir).iterator()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (it.hasNext) {
+      val name = it.next().getFileName.toString
+      if (name.startsWith("snap-") && name.endsWith(".json"))
+        out += name.stripPrefix("snap-").stripSuffix(".json").toLong
+    }
+    out.sorted.toSeq
+  }
+
+  def nextSnapshotId(root: String): Long =
+    committedSnapshots(root).lastOption.getOrElse(0L) + 1L
+
+  /** Commit a tiles DataFrame (must carry `tile_id`, `byte_len`) as a new
+    * snapshot. Steps: write data parquet → write per-partition metrics →
+    * atomically rename the manifest into place (the commit point).
+    */
+  def commit(tilesWithStats: DataFrame, root: String, note: String): Snapshot = {
+    val spark = tilesWithStats.sparkSession
+    val snapId = nextSnapshotId(root)
+    val dataPath = s"$root/data/snap-$snapId"
+    val metricsPath = s"$root/metrics/snap-$snapId"
+
+    tilesWithStats.write.mode(SaveMode.Overwrite).parquet(dataPath)
+
+    // per-partition lineage from the COMMITTED files (ground truth):
+    // tile_id ranges, row counts, bytes per parquet partition file
+    val written = spark.read.parquet(dataPath)
+      .select(col("tile_id"), col("byte_len"),
+        input_file_name().as("file"))
+    val metrics = written.groupBy("file").agg(
+      min("tile_id").as("tile_id_min"),
+      max("tile_id").as("tile_id_max"),
+      count(lit(1)).as("row_count"),
+      sum("byte_len").as("bytes"))
+      .withColumn("snapshot_id", lit(snapId))
+    metrics.write.mode(SaveMode.Overwrite).parquet(metricsPath)
+
+    val (rows, bytes) = {
+      val r = spark.read.parquet(metricsPath)
+        .agg(sum("row_count"), sum("bytes")).head
+      (r.getLong(0), r.getLong(1))
+    }
+
+    // commit point: write manifest to tmp, atomic rename into manifests/
+    Files.createDirectories(manifestDir(root))
+    val manifest =
+      s"""{"snapshot_id": $snapId, "note": ${jsonStr(note)},
+         | "data_path": ${jsonStr(dataPath)},
+         | "metrics_path": ${jsonStr(metricsPath)},
+         | "row_count": $rows, "bytes": $bytes,
+         | "parent": ${committedSnapshots(root).lastOption.getOrElse(0L)}}"""
+        .stripMargin
+    val tmp = Files.createTempFile(manifestDir(root), s".snap-$snapId", ".tmp")
+    Files.writeString(tmp, manifest)
+    Files.move(tmp, manifestDir(root).resolve(s"snap-$snapId.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+    Snapshot(snapId, rows, bytes)
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** All tile_ids across committed snapshots (the resume anti-join side). */
+  def completedTileIds(spark: SparkSession, root: String): DataFrame = {
+    val snaps = committedSnapshots(root)
+    if (snaps.isEmpty)
+      return spark.range(0).select(col("id").as("tile_id"))
+    val paths = snaps.map(s => s"$root/data/snap-$s")
+    spark.read.parquet(paths: _*).select("tile_id").distinct()
+  }
+
+  /** Resume filter: drop rows whose tile_id is already committed. `df`
+    * must carry a `tile_id` column (applied BEFORE the expensive encode).
+    */
+  def pendingOnly(df: DataFrame, root: String): DataFrame = {
+    val done = completedTileIds(df.sparkSession, root)
+    df.join(done, Seq("tile_id"), "left_anti")
+  }
+
+  /** Combined metrics table across committed snapshots. */
+  def metricsTable(spark: SparkSession, root: String): DataFrame = {
+    val snaps = committedSnapshots(root)
+    if (snaps.isEmpty)
+      spark.emptyDataFrame
+    else
+      spark.read.parquet(snaps.map(s => s"$root/metrics/snap-$s"): _*)
+  }
+}
