@@ -125,8 +125,122 @@ object SparkEntry {
         col("doc_id"),
         graft.functions.text.fingerprint64(col("text")).as("fp64"),
         graft.functions.text.simhash64(col("text")).as("simhash"))
+    }),
+    // ---- spatial join: broadcast hex-cover PIP (oracle: half-plane SQL) ----
+    "q12_pip_triangles" -> ((s, dir) => {
+      import graft.sources.PolyRegistry
+      graft.operators.SpatialJoin.pipJoin(derivedPoints(s, dir),
+          registry = PolyRegistry.OracleTri)
+        .select(col("doc_id"), col("admin_id").as("tri_id"))
+    }),
+    // ---- kNN via hex cell-ring expansion (exact; oracle: brute force) ----
+    "q13_knn" -> ((s, dir) => {
+      import s.implicits._
+      val qs = knnQueryPoints.toDF("q_id", "q_lon", "q_lat")
+      val pts = derivedPoints(s, dir)
+        .select(col("doc_id").as("p_id"), col("lon"), col("lat"))
+      graft.operators.KnnJoin.knn(qs, pts, k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+    // ---- full tiler path (assign→cap→group→MVT encode); oracle: counts ----
+    "q14_tile_counts_via_tiler" -> ((s, dir) => {
+      val pts = derivedPoints(s, dir)
+        .select(col("lon"), col("lat"), col("doc_id").cast("string").as("name"))
+      graft.operators.Tiler.buildTiles(pts, Seq(4, 6)).toDF()
+        .select(col("zoom").cast("long").as("zoom"), col("x"), col("y"),
+          col("n_features").cast("long").as("n_features"))
+    }),
+    // ---- cell encodes exposed (rows-only: custom 64-bit IDs) ----
+    "q15_cell_encode" -> ((s, dir) => {
+      import graft.functions.geo
+      derivedPoints(s, dir).select(
+        col("doc_id"),
+        geo.s2_cell(col("lat"), col("lon"), lit(10)).as("s2_10"),
+        geo.hex_cell(col("lon"), col("lat"), lit(6)).as("hex_6"))
+    }),
+    // ---- dedup: MinHash LSH near-dup pairs (rows-only; LSH hashes) ----
+    "q24_minhash_pairs" -> ((s, dir) => {
+      graft.operators.Dedup.minhashPairs(t(s, dir, "documents"),
+        "text", "doc_id", k = 64, bands = 16, shingle = 3, threshold = 0.25)
+    }),
+    // ---- dedup: SimHash near-dup pairs (rows-only) ----
+    "q25_simhash_pairs" -> ((s, dir) => {
+      graft.operators.Dedup.simhashPairs(t(s, dir, "documents"),
+        "text", "doc_id", maxHamming = 3)
+    }),
+    // ---- dedup: exact n-gram Jaccard pairs (oracle: shingle join SQL) ----
+    "q26_ngram_jaccard" -> ((s, dir) => {
+      graft.operators.Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+        "text", "doc_id", n = 3, threshold = 0.25, blockCol = Some("source"))
+    }),
+    // ---- similarity: brute-force cosine top-k (oracle: double-cast SQL) ----
+    "q27_ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      graft.operators.Similarity.bruteForceTopK(qs, e, k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+    // ---- similarity: embedding near-dup pairs via RP-LSH (rows-only) ----
+    "q28_embedding_pairs" -> ((s, dir) => {
+      graft.operators.Dedup.embeddingPairs(t(s, dir, "embeddings"),
+        "embedding", "vec_id", threshold = 0.35)
+    }),
+    // ---- as-of / nearest-timestamp join with tolerance ----
+    "q30_asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.AsofJoin.nearest(
+          ev.filter(col("event_type") === "error"),
+          ev.filter(col("event_type") === "purchase"),
+          "event_id", "ts", "event_id", "ts", tolUs = 600000000L)
+        .select(col("l_id").as("event_id"), col("r_id").as("match_id"),
+          col("dt_us"))
+    }),
+    // ---- event-time tumbling-window aggregation (same code path serves
+    //      Structured Streaming — graft.streaming.EventStream) ----
+    "q31_window_agg" -> ((s, dir) => {
+      graft.streaming.EventStream.windowedCounts(t(s, dir, "events"))
+    }),
+    // ---- rasterize: per-tile pixel-grid counts (oracle: SQL binning) ----
+    "q16_rasterize" -> ((s, dir) => {
+      graft.operators.Raster.rasterize(derivedPoints(s, dir), zoom = 3,
+        gridSize = 64)
+    }),
+    // ---- polygon tiling: cover→clip→DP-simplify→MVT encode (rows-only) ----
+    "q17_polygon_tiles" -> ((s, dir) => {
+      graft.operators.PolyTiler.buildPolygonTiles(s, Seq(2, 4)).toDF()
+        .select(col("zoom").cast("long").as("zoom"), col("x"), col("y"),
+          col("n_features").cast("long").as("n_features"),
+          length(col("mvt_bytes")).cast("long").as("byte_len"))
+    }),
+    // ---- vectorize: hex-cell counts back to WKT polygons (rows-only) ----
+    "q18_vectorize" -> ((s, dir) => {
+      graft.operators.Raster.vectorize(
+        graft.operators.Raster.cellCounts(derivedPoints(s, dir), res = 3))
+    }),
+    // ---- multimodal: binary decode (stub) + resize/frame-sample plans ----
+    "q51_multimodal" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.synthMedia(s,
+        graft.sources.SynthPages.countForSfDir(dir) / 10)
+      val dec = graft.operators.Multimodal.decode(media).toDF()
+      graft.operators.Multimodal.withFrameSample(
+          graft.operators.Multimodal.withResizePlan(dec, maxSide = 512),
+          stride = 10, maxFrames = 16)
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          col("out_width"), col("out_height"), size(col("sampled_frames"))
+            .cast("long").as("n_sampled"))
     })
   )
+
+  /** Fixed kNN query points (mirrored as literals in the SQL oracle). */
+  private val knnQueryPoints: Seq[(Long, Double, Double)] = Seq(
+    (0L, 10.5, 20.5), (1L, -100.25, 40.75), (2L, 150.0, -30.5),
+    (3L, -60.5, -10.25), (4L, 0.125, 51.5), (5L, 139.75, 35.5),
+    (6L, -122.5, 37.75), (7L, 77.25, 28.5), (8L, -43.25, -22.875),
+    (9L, 30.5, -1.875), (10L, 170.5, 65.25), (11L, -179.5, -84.5))
+
+  private def knnQueryValuesSql: String =
+    knnQueryPoints.map { case (i, lo, la) => s"($i, $lo, $la)" }.mkString(", ")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -207,8 +321,114 @@ object SparkEntry {
         |      len(list_filter(toks, t -> t IN ('la','les','avec','dans','une','leurs')))) AS gm
         |  FROM (SELECT doc_id,
         |          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-        |        FROM documents))""".stripMargin
-    // q23_fingerprint: custom 64-bit hash exprs — not SQL-expressible;
-    // driver records rows-only check.
+        |        FROM documents))""".stripMargin,
+    "q12_pip_triangles" -> {
+      import graft.sources.PolyRegistry
+      val branches = PolyRegistry.oracleTriangles.map { p =>
+        s"SELECT doc_id, CAST(${p.adminId} AS BIGINT) AS tri_id FROM pts WHERE " +
+          PolyRegistry.halfPlaneSql(p, "lon", "lat")
+      }.mkString("\nUNION ALL\n")
+      s"WITH pts AS ($derivedPointsSql)\n$branches"
+    },
+    "q13_knn" ->
+      s"""WITH pts AS ($derivedPointsSql),
+         |qs AS (SELECT * FROM (VALUES $knnQueryValuesSql) AS t(q_id, q_lon, q_lat))
+         |SELECT CAST(q_id AS BIGINT) AS q_id, p_id, round(d2, 9) AS dist2,
+         |  CAST(rn AS BIGINT) AS rank
+         |FROM (
+         |  SELECT qs.q_id, pts.doc_id AS p_id,
+         |    (qs.q_lon - pts.lon) * (qs.q_lon - pts.lon)
+         |      + (qs.q_lat - pts.lat) * (qs.q_lat - pts.lat) AS d2,
+         |    row_number() OVER (PARTITION BY qs.q_id ORDER BY
+         |      (qs.q_lon - pts.lon) * (qs.q_lon - pts.lon)
+         |        + (qs.q_lat - pts.lat) * (qs.q_lat - pts.lat) ASC,
+         |      pts.doc_id ASC) AS rn
+         |  FROM qs CROSS JOIN pts)
+         |WHERE rn <= 5""".stripMargin,
+    "q14_tile_counts_via_tiler" ->
+      s"""WITH pts AS ($derivedPointsSql)
+         |SELECT CAST(4 AS BIGINT) AS zoom,
+         |  CAST(floor((lon + 180.0) / 360.0 * 16.0) AS BIGINT) AS x,
+         |  CAST(floor((1.0 - ln(tan(pi() / 4.0 + radians(lat) / 2.0)) / pi()) / 2.0 * 16.0) AS BIGINT) AS y,
+         |  count(*) AS n_features
+         |FROM pts GROUP BY 2, 3
+         |UNION ALL
+         |SELECT CAST(6 AS BIGINT) AS zoom,
+         |  CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT) AS x,
+         |  CAST(floor((1.0 - ln(tan(pi() / 4.0 + radians(lat) / 2.0)) / pi()) / 2.0 * 64.0) AS BIGINT) AS y,
+         |  count(*) AS n_features
+         |FROM pts GROUP BY 2, 3""".stripMargin,
+    "q26_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |      ELSE list_transform(range(1, len(t) - 1), i ->
+        |        concat(t[i], ' ', t[i+1], ' ', t[i+2])) END) AS g
+        |  FROM toks),
+        |ex AS (SELECT doc_id, source, len(g) AS ng, unnest(g) AS gram FROM grams)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(count(*) * 1.0 / (any_value(a.ng) + any_value(b.ng) - count(*)), 6) AS jaccard
+        |FROM ex a JOIN ex b ON a.gram = b.gram AND a.source = b.source
+        |  AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) * 1.0 / (any_value(a.ng) + any_value(b.ng) - count(*)) >= 0.25""".stripMargin,
+    "q27_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+        |           FROM embeddings WHERE vec_id % 100 = 0)
+        |SELECT q_id, vec_id, round(cos, 6) AS cosine, CAST(rn AS BIGINT) AS rank
+        |FROM (
+        |  SELECT q.q_id, e.vec_id,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos,
+        |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+        |      e.vec_id ASC) AS rn
+        |  FROM embeddings e CROSS JOIN q)
+        |WHERE rn <= 10""".stripMargin,
+    "q30_asof_nearest" ->
+      """WITH l AS (SELECT event_id AS l_id, epoch_us(ts) AS l_us
+        |           FROM events WHERE event_type = 'error'),
+        |r AS (SELECT event_id AS r_id, epoch_us(ts) AS r_us,
+        |        CAST(floor(epoch_us(ts) / 600000000) AS BIGINT) AS b
+        |      FROM events WHERE event_type = 'purchase'),
+        |lb AS (SELECT l_id, l_us, unnest([
+        |         CAST(floor(l_us / 600000000) AS BIGINT) - 1,
+        |         CAST(floor(l_us / 600000000) AS BIGINT),
+        |         CAST(floor(l_us / 600000000) AS BIGINT) + 1]) AS b FROM l)
+        |SELECT l_id AS event_id, r_id AS match_id,
+        |  CAST(abs(l_us - r_us) AS BIGINT) AS dt_us
+        |FROM (
+        |  SELECT l_id, r_id, l_us, r_us,
+        |    row_number() OVER (PARTITION BY l_id
+        |      ORDER BY abs(l_us - r_us) ASC, r_id ASC) AS rn
+        |  FROM lb JOIN r USING (b)
+        |  WHERE abs(l_us - r_us) <= 600000000) WHERE rn = 1""".stripMargin,
+    "q31_window_agg" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
+        |  event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q16_rasterize" ->
+      s"""WITH pts AS ($derivedPointsSql)
+         |SELECT CAST(3 AS BIGINT) AS zoom,
+         |  CAST(floor((lon + 180.0) / 360.0 * 8.0) AS BIGINT) AS x,
+         |  CAST(floor((1.0 - ln(tan(pi() / 4.0 + radians(lat) / 2.0)) / pi()) / 2.0 * 8.0) AS BIGINT) AS y,
+         |  CAST(floor((lon + 180.0) / 360.0 * 8.0 * 64.0) AS BIGINT)
+         |    - CAST(floor((lon + 180.0) / 360.0 * 8.0) AS BIGINT) * 64 AS px,
+         |  CAST(floor((1.0 - ln(tan(pi() / 4.0 + radians(lat) / 2.0)) / pi()) / 2.0 * 8.0 * 64.0) AS BIGINT)
+         |    - CAST(floor((1.0 - ln(tan(pi() / 4.0 + radians(lat) / 2.0)) / pi()) / 2.0 * 8.0) AS BIGINT) * 64 AS py,
+         |  count(*) AS n
+         |FROM pts GROUP BY 2, 3, 4, 5""".stripMargin
+    // rows-only (custom 64-bit hash/LSH/MVT bytes — not SQL-expressible):
+    // q15_cell_encode, q17_polygon_tiles, q18_vectorize, q23_fingerprint,
+    // q24_minhash_pairs, q25_simhash_pairs, q28_embedding_pairs,
+    // q51_multimodal
   )
 }

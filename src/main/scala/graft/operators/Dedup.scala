@@ -84,7 +84,7 @@ object Dedup {
                         n: Int, threshold: Double,
                         blockCol: Option[String] = None): DataFrame = {
     // tokens → distinct n-gram shingles per doc (string form for SQL parity)
-    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+    val toks = filter(split(lower(trim(col("txt"))), "\\s+"), t => length(t) > 0)
     val grams = array_distinct(
       when(size(toks) < n, array(concat_ws(" ", toks)))
         .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)), i =>
@@ -118,15 +118,16 @@ object Dedup {
     * blocks of an `nBits`-bit signature) + exact cosine verification.
     */
   def embeddingPairs(vecs: DataFrame, vecCol: String, idCol: String,
-                     threshold: Double = 0.95, nBits: Int = 32,
-                     seed: Long = 77L): DataFrame = {
-    val nBlocks = nBits / 16
+                     threshold: Double = 0.95, nBits: Int = 64,
+                     blockBits: Int = 8, seed: Long = 77L): DataFrame = {
+    val nBlocks = nBits / blockBits
+    val mask = (1L << blockBits) - 1
     val sigs = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("sig", vec.rp_signature(col("v"), nBits, seed))
     val blocks = sigs.withColumn("block",
       explode(array((0 until nBlocks).map(i =>
         struct(lit(i).as("blk"),
-          shiftright(col("sig"), i * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)))
+          shiftright(col("sig"), i * blockBits).bitwiseAND(lit(mask)).as("key"))): _*)))
       .select(col("id"), col("v"), col("block.blk"), col("block.key"))
     val a = blocks.select(col("blk"), col("key"), col("id").as("id_a"), col("v").as("v_a"))
     val b = blocks.select(col("blk"), col("key"), col("id").as("id_b"), col("v").as("v_b"))

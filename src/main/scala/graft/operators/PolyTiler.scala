@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.locationtech.jts.geom.{Coordinate, Geometry, GeometryFactory, Polygon}
+import org.locationtech.jts.simplify.DouglasPeuckerSimplifier
+import graft.core.{MvtEncoder, WebMercator}
+import graft.sources.PolyRegistry
+
+/** Polygon (admin-boundary) layer tiling: cover → clip → simplify → encode.
+  *
+  * Per (polygon, tile): clip to the tile envelope + buffer (JTS
+  * intersection), Douglas-Peucker simplify at tile resolution (tolerance =
+  * one tile pixel in degrees — the reference's per-row cleanup-at-grid-
+  * resolution semantics, SURVEY.md §7.1), then integer tile-local coords
+  * with MVT winding (exterior positive shoelace in y-down coords).
+  *
+  * Scale shape: the (polygon × tile) fan-out is computed as a DataFrame of
+  * keys (cheap), the single shuffle groups by tile, and clipping/encoding
+  * stream per tile via mapGroups. Polygon registries are static per JVM —
+  * no broadcast of JTS objects (they are not kryo-friendly).
+  */
+object PolyTiler {
+  private val BufferPx = 64 // clip buffer in tile pixels
+
+  /** Tiles (z,x,y) whose envelope intersects the polygon bbox. */
+  def coveringTiles(p: graft.sources.AdminPolygons.AdminPolygon, z: Int): Seq[(Long, Long)] = {
+    val (x1, y1, x2, y2) = p.bbox
+    val txMin = WebMercator.tileX(x1, z); val txMax = WebMercator.tileX(x2, z)
+    val tyMin = WebMercator.tileY(y2, z); val tyMax = WebMercator.tileY(y1, z)
+    for (tx <- txMin to txMax; ty <- tyMin to tyMax) yield (tx, ty)
+  }
+
+  /** Build the polygon layer for the given registry and zooms. */
+  def buildPolygonTiles(spark: SparkSession, zooms: Seq[Int],
+                        registry: Int = PolyRegistry.Admin,
+                        layerName: String = "admin",
+                        extent: Int = WebMercator.Extent): Dataset[TileRow] = {
+    import spark.implicits._
+    val keys: Seq[(Long, Long)] = for {
+      p <- PolyRegistry.polys(registry)
+      z <- zooms
+      (tx, ty) <- coveringTiles(p, z)
+    } yield (WebMercator.tileId(z, tx, ty), p.adminId)
+    val reg = registry
+    val ext = extent
+    val layer = layerName
+    keys.toDF("tile_id", "admin_id")
+      .repartition(col("tile_id"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (tileId: Long, rows: Iterator[(Long, Long)]) =>
+        encodeTile(tileId, rows.map(_._2).toArray.sorted, reg, layer, ext)
+      }
+      .filter(_.n_features > 0)
+  }
+
+  private lazy val gf = new GeometryFactory()
+
+  def encodeTile(tileId: Long, adminIds: Array[Long], registry: Int,
+                 layerName: String, extent: Int): TileRow = {
+    val z = WebMercator.tileIdZoom(tileId)
+    val tx = WebMercator.tileIdX(tileId)
+    val ty = WebMercator.tileIdY(tileId)
+    val (lonMin, latMin, lonMax, latMax) = WebMercator.tileBounds(z, tx, ty)
+    val bufLon = (lonMax - lonMin) * BufferPx / extent
+    val bufLat = (latMax - latMin) * BufferPx / extent
+    val envelope = gf.createPolygon(Array(
+      new Coordinate(lonMin - bufLon, latMin - bufLat),
+      new Coordinate(lonMax + bufLon, latMin - bufLat),
+      new Coordinate(lonMax + bufLon, latMax + bufLat),
+      new Coordinate(lonMin - bufLon, latMax + bufLat),
+      new Coordinate(lonMin - bufLon, latMin - bufLat)))
+    // DP tolerance: one pixel in degrees at this tile
+    val tolerance = (lonMax - lonMin) / extent
+    val feats = adminIds.toSeq.flatMap { id =>
+      val p = PolyRegistry.polys(registry).find(_.adminId == id).get
+      val jts = graft.sources.AdminPolygons.toJts(p)
+      val clipped = jts.intersection(envelope)
+      if (clipped.isEmpty) None
+      else {
+        val simplified = DouglasPeuckerSimplifier.simplify(clipped, tolerance)
+        val rings = geometryRings(simplified, z, tx, ty, extent)
+        if (rings.isEmpty) None
+        else Some(MvtEncoder.Feature(id + 1, MvtEncoder.GeomPolygon, rings,
+          Seq("admin_id" -> MvtEncoder.IVal(id),
+            "name" -> MvtEncoder.SVal(p.name),
+            "level" -> MvtEncoder.IVal(p.level.toLong))))
+      }
+    }
+    val bytes =
+      if (feats.isEmpty) Array.empty[Byte]
+      else MvtEncoder.encodeTile(Seq(layerName -> feats), extent)
+    TileRow(z, tx, ty, feats.length, bytes)
+  }
+
+  /** JTS geometry → MVT rings in tile-local ints with enforced winding. */
+  def geometryRings(g: Geometry, z: Int, tx: Long, ty: Long,
+                    extent: Int): Array[Array[(Int, Int)]] = {
+    val polys: Seq[Polygon] = (0 until g.getNumGeometries)
+      .map(g.getGeometryN).collect { case p: Polygon if !p.isEmpty => p }
+    polys.flatMap { p =>
+      val shell = ringCoords(p.getExteriorRing.getCoordinates, z, tx, ty, extent,
+        wantPositive = true)
+      shell.toSeq.flatMap { sh =>
+        val holes = (0 until p.getNumInteriorRing).flatMap { i =>
+          ringCoords(p.getInteriorRingN(i).getCoordinates, z, tx, ty, extent,
+            wantPositive = false)
+        }
+        sh +: holes
+      }
+    }.toArray
+  }
+
+  private def ringCoords(cs: Array[Coordinate], z: Int, tx: Long, ty: Long,
+                         extent: Int, wantPositive: Boolean): Option[Array[(Int, Int)]] = {
+    var pts = cs.map(c => (
+      WebMercator.localX(c.x, z, tx, extent),
+      WebMercator.localY(c.y, z, ty, extent)))
+    // drop consecutive duplicates introduced by integer snapping
+    pts = pts.zipWithIndex.filter { case (p, i) => i == 0 || p != pts(i - 1) }.map(_._1)
+    if (pts.length > 1 && pts.head == pts.last) pts = pts.dropRight(1)
+    if (pts.length < 3) return None
+    val area2 = MvtEncoder.signedArea2(pts)
+    if (area2 == 0) return None
+    val oriented = if ((area2 > 0) == wantPositive) pts else pts.reverse
+    Some(oriented)
+  }
+}

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.geo
-import graft.sources.AdminPolygons
+import graft.sources.{AdminPolygons, PolyRegistry}
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
@@ -14,18 +14,20 @@ import org.apache.spark.sql.types._
   * broadcast needed: the registry is a pure function of a fixed seed and
   * materializes identically in every executor JVM).
   */
-case class PipContainsExpr(first: Expression, second: Expression, third: Expression)
+case class PipContainsExpr(first: Expression, second: Expression, third: Expression,
+    registry: Int = PolyRegistry.Admin)
     extends TernaryExpression {
   override def dataType: DataType = BooleanType
   override def prettyName: String = "pip_contains"
   override protected def nullSafeEval(id: Any, lon: Any, lat: Any): Any =
-    AdminPolygons.contains(id.asInstanceOf[Long], lon.asInstanceOf[Double],
-      lat.asInstanceOf[Double])
+    PolyRegistry.contains(registry, id.asInstanceOf[Long],
+      lon.asInstanceOf[Double], lat.asInstanceOf[Double])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (id, lon, lat) =>
-      s"graft.sources.AdminPolygons.contains($id, $lon, $lat)")
+      s"graft.sources.PolyRegistry.contains($registry, $id, $lon, $lat)")
   override protected def withNewChildrenInternal(
-      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
 }
 
 /** Broadcast point-in-polygon join via hex-cell prefix (BASELINE.json
@@ -43,14 +45,18 @@ case class PipContainsExpr(first: Expression, second: Expression, third: Express
 object SpatialJoin {
   import org.apache.spark.sql.GraftBridge.{column, expression}
 
-  def pip_contains(adminId: Column, lon: Column, lat: Column): Column =
-    column(PipContainsExpr(expression(adminId), expression(lon), expression(lat)))
+  def pip_contains(adminId: Column, lon: Column, lat: Column,
+                   registry: Int = PolyRegistry.Admin): Column =
+    column(PipContainsExpr(expression(adminId), expression(lon), expression(lat),
+      registry))
 
   /** Cell-cover DataFrame of the admin registry at `res`. */
   def polygonCover(spark: SparkSession, res: Int = AdminPolygons.CoverRes,
-                   level: Option[Int] = None): DataFrame = {
+                   level: Option[Int] = None,
+                   registry: Int = PolyRegistry.Admin): DataFrame = {
     import spark.implicits._
-    val polys = level.fold(AdminPolygons.all)(l => AdminPolygons.all.filter(_.level == l))
+    val all = PolyRegistry.polys(registry)
+    val polys = level.fold(all)(l => all.filter(_.level == l))
     polys.flatMap(p => AdminPolygons.cellCover(p, res).map(c => (c, p.adminId, p.name)))
       .toDF("cover_cell", "admin_id", "admin_name")
   }
@@ -61,13 +67,14 @@ object SpatialJoin {
     * the tagging variant).
     */
   def pipJoin(points: DataFrame, res: Int = AdminPolygons.CoverRes,
-              level: Option[Int] = None): DataFrame = {
+              level: Option[Int] = None,
+              registry: Int = PolyRegistry.Admin): DataFrame = {
     val spark = points.sparkSession
-    val cover = polygonCover(spark, res, level)
+    val cover = polygonCover(spark, res, level, registry)
     points
       .withColumn("__cell", geo.hex_cell(col("lon"), col("lat"), lit(res)))
       .join(broadcast(cover), col("__cell") === col("cover_cell"))
-      .filter(pip_contains(col("admin_id"), col("lon"), col("lat")))
+      .filter(pip_contains(col("admin_id"), col("lon"), col("lat"), registry))
       .drop("__cell", "cover_cell")
   }
 

@@ -1,0 +1,55 @@
+package graft.sources
+
+import graft.sources.AdminPolygons.AdminPolygon
+
+/** Registry of deterministic polygon sets addressable from codegen'd
+  * expressions by (registry, id). Registry 0 = the admin-boundary set;
+  * registry 1 = small convex triangles whose containment is also
+  * expressible as half-plane ANSI SQL — the oracle-checkable PIP surface.
+  */
+object PolyRegistry {
+  final val Admin = 0
+  final val OracleTri = 1
+
+  /** Eight convex (CCW) triangles, coordinates chosen as short decimal
+    * literals so the same numbers round-trip exactly through SQL text.
+    */
+  lazy val oracleTriangles: IndexedSeq[AdminPolygon] = {
+    val tris: Seq[(Double, Double, Double, Double, Double, Double)] = Seq(
+      (-170.0, -80.0, -110.0, -75.0, -140.0, -20.0),
+      (-100.0, -60.0, -40.0, -55.0, -70.0, 0.0),
+      (-30.0, -40.0, 30.0, -45.0, 0.0, 20.0),
+      (40.0, -70.0, 100.0, -65.0, 70.0, -5.0),
+      (110.0, -50.0, 170.0, -55.0, 140.0, 10.0),
+      (-160.0, 20.0, -100.0, 15.0, -130.0, 75.0),
+      (-20.0, 30.0, 40.0, 25.0, 10.0, 80.0),
+      (90.0, 20.0, 150.0, 30.0, 120.0, 70.0))
+    tris.zipWithIndex.map { case ((x1, y1, x2, y2, x3, y3), i) =>
+      AdminPolygon(i.toLong, s"tri$i", 9,
+        Array(x1, x2, x3, x1), Array(y1, y2, y3, y1))
+    }.toIndexedSeq
+  }
+
+  def polys(registry: Int): IndexedSeq[AdminPolygon] = registry match {
+    case Admin => AdminPolygons.all
+    case OracleTri => oracleTriangles
+    case r => throw new IllegalArgumentException(s"registry $r")
+  }
+
+  private lazy val byId: Array[Map[Long, AdminPolygon]] =
+    Array(AdminPolygons.byId, oracleTriangles.map(p => p.adminId -> p).toMap)
+
+  /** Static PIP entry point for codegen. */
+  def contains(registry: Int, adminId: Long, lon: Double, lat: Double): Boolean =
+    byId(registry).get(adminId).exists(_.contains(lon, lat))
+
+  /** Half-plane SQL predicate for a CCW convex ring (oracle generation). */
+  def halfPlaneSql(p: AdminPolygon, lonCol: String, latCol: String): String = {
+    val n = p.xs.length - 1 // closed ring
+    (0 until n).map { i =>
+      val x1 = p.xs(i); val y1 = p.ys(i)
+      val x2 = p.xs(i + 1); val y2 = p.ys(i + 1)
+      s"(($x2 - $x1) * ($latCol - $y1) - ($y2 - $y1) * ($lonCol - $x1)) >= 0"
+    }.mkString("(", " AND ", ")")
+  }
+}

