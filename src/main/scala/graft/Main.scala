@@ -4,12 +4,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** spark-submit entry point: the full resumable pipeline
-  *   synth pages → extract/geoparse → cell encode → PIP join →
-  *   tile build (salted/capped) → MVT encode → snapshot commit.
+  *   page table (materialized Iceberg-style or generated inline) →
+  *   extract/geoparse → cell encode → PIP join → tile build (salted,
+  *   capped) → MVT encode → snapshot commit.
   *
-  * Usage: graft.Main <outDir> [nPages] [zooms csv] [--resume]
+  * Usage:
+  *   graft.Main --config <file.yaml|file.json>
+  *   graft.Main <outDir> [nPages] [zooms csv] [--resume] [--materialize]
+  *
   * Staged-main shape mirrors the reference pipeline main (reference:
-  * mvt/run_mvt_espre.py:103-423).
+  * mvt/run_mvt_espre.py:103-423: config → scan/parse → transforms →
+  * grouped reduction → persist + QA tables).
   */
 object Main {
   def session(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")): SparkSession = {
@@ -21,6 +26,10 @@ object Main {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // small synthetic tables must still split across all cores —
+      // at 100 TB the default 128 MB splits are right, here they serialize
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "512k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -28,36 +37,69 @@ object Main {
     spark
   }
 
-  /** The pipeline from pages to tiles-with-stats, with optional resume
-    * (anti-join committed tile ids BEFORE the expensive group+encode).
+  /** The page table: materialized to parquet once (the "Iceberg-style
+    * input table" of BASELINE.json input_hint — at 100 TB this is the
+    * pre-existing table the job reads), or generated inline.
     */
-  def run(spark: SparkSession, outDir: String, nPages: Long,
-          zooms: Seq[Int], resume: Boolean): graft.plans.Lineage.Snapshot = {
-    val pages = graft.sources.SynthPages.pagesDF(spark, nPages)
-    val features = graft.operators.GeoPipeline.pagesToFeatures(spark, pages)
+  def pageTable(spark: SparkSession, cfg: GraftConfig): DataFrame = {
+    if (!cfg.materializePages)
+      return graft.sources.SynthPages.pagesDF(spark, cfg.nPages, cfg.seed)
+    val path = s"${cfg.outDir}/pages"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))) {
+      graft.sources.SynthPages.pagesDF(spark, cfg.nPages, cfg.seed)
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** Pipeline from pages to committed tile snapshot, with optional resume
+    * (anti-join committed tile ids BEFORE the heavy group+encode).
+    */
+  def run(spark: SparkSession, cfg: GraftConfig): graft.plans.Lineage.Snapshot = {
+    val pages = pageTable(spark, cfg)
+    val features = graft.operators.GeoPipeline
+      .pagesToFeatures(spark, pages, cfg.s2Level, cfg.hexRes)
       .filter(col("lat").isNotNull && col("lon").isNotNull)
 
-    // tile assignment first (cheap column math), then resume filter, then
-    // the single heavy shuffle (group by tile) + encode
-    val zoomed = graft.operators.Tiler.assignTiles(features, zooms)
+    val zoomed = graft.operators.Tiler.assignTiles(features, cfg.zooms)
     val pending =
-      if (resume) graft.plans.Lineage.pendingOnly(zoomed, outDir) else zoomed
+      if (cfg.resume) graft.plans.Lineage.pendingOnly(zoomed, cfg.outDir)
+      else zoomed
 
-    val tiles = graft.operators.Tiler.encodeTiles(pending)
+    val tiles = graft.operators.Tiler.encodeTiles(pending, cfg.tileCap)
     val withStats = graft.operators.Tiler.tilesWithStats(tiles)
-    graft.plans.Lineage.commit(withStats, outDir,
-      s"pages=$nPages zooms=${zooms.mkString(",")} resume=$resume")
+    graft.plans.Lineage.commit(withStats, cfg.outDir,
+      s"pages=${cfg.nPages} zooms=${cfg.zooms.mkString(",")} resume=${cfg.resume}")
+  }
+
+  /** Back-compat wrapper used by tests. */
+  def run(spark: SparkSession, outDir: String, nPages: Long,
+          zooms: Seq[Int], resume: Boolean): graft.plans.Lineage.Snapshot =
+    run(spark, GraftConfig(outDir = outDir, nPages = nPages, zooms = zooms,
+      resume = resume))
+
+  def parseArgs(args: Array[String]): GraftConfig = {
+    val cfgIdx = args.indexOf("--config")
+    if (cfgIdx >= 0) {
+      val base = GraftConfig.fromFile(args(cfgIdx + 1))
+      base.copy(resume = base.resume || args.contains("--resume"))
+    } else {
+      val positional = args.filterNot(_.startsWith("--"))
+      GraftConfig(
+        outDir = positional.headOption.getOrElse("/tmp/graft-tiles"),
+        nPages = positional.lift(1).map(_.toLong).getOrElse(20000L),
+        zooms = positional.lift(2).map(_.split(",").map(_.toInt).toSeq)
+          .getOrElse(Seq(4, 8, 12)),
+        resume = args.contains("--resume"),
+        materializePages = args.contains("--materialize"))
+    }
   }
 
   def main(args: Array[String]): Unit = {
-    val outDir = args.headOption.getOrElse("/tmp/graft-tiles")
-    val nPages = args.lift(1).map(_.toLong).getOrElse(20000L)
-    val zooms = args.lift(2).map(_.split(",").map(_.toInt).toSeq)
-      .getOrElse(Seq(4, 8, 12))
-    val resume = args.contains("--resume")
+    val cfg = parseArgs(args)
     val spark = session()
     val t0 = System.nanoTime()
-    val snap = run(spark, outDir, nPages, zooms, resume)
+    val snap = run(spark, cfg)
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"committed snapshot ${snap.id} rows=${snap.rows} " +
       f"bytes=${snap.bytes} in $secs%.1f s (${snap.rows / secs}%.1f tiles/sec)")

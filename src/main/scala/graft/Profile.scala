@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stage-level profiling main: times each pipeline stage independently on
+  * a materialized page table to locate bottlenecks (dev tool).
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val nPages = args.headOption.map(_.toLong).getOrElse(20000L)
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      // small synthetic tables must still split across all cores —
+      // at 100 TB the default 128 MB splits are right, here they serialize
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "512k")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val pagesPath = s"/tmp/graft-bench-pages-$nPages"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(pagesPath, "_SUCCESS")))
+      graft.sources.SynthPages.pagesDF(spark, nPages)
+        .write.mode("overwrite").parquet(pagesPath)
+
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+    // optional: repeated full-pipeline timing (arg 2 = reps)
+    args.lift(1).map(_.toInt).filter(_ > 0).foreach { reps =>
+      for (i <- 0 until reps) {
+        val t0 = System.nanoTime()
+        val pages = spark.read.parquet(pagesPath)
+        val features = graft.operators.GeoPipeline.pagesToFeatures(spark, pages)
+          .filter(col("lat").isNotNull)
+        val n = graft.operators.Tiler.buildTiles(features, Seq(4, 8, 12)).count()
+        println(f"[profile] pipeline rep=$i cores=$cpus ${(System.nanoTime() - t0) / 1e9}%8.2f s tiles=$n")
+      }
+      spark.stop()
+      return
+    }
+    val pages = spark.read.parquet(pagesPath)
+    // warm
+    pages.count()
+    t("scan_pages")(pages.count())
+    t("scan_text_only")(pages.select("text").count())
+    val mentions = graft.operators.GeoPipeline.pagesToMentions(pages)
+    t("mentions")(mentions.count())
+    t("mentions_again")(mentions.count())
+    val features = graft.operators.GeoPipeline.pagesToFeatures(spark, pages)
+    t("features_pip")(features.count())
+    val zoomed = graft.operators.Tiler.assignTiles(
+      features.filter(col("lat").isNotNull), Seq(4, 8, 12))
+    t("assign_tiles")(zoomed.count())
+    t("encode_tiles")(graft.operators.Tiler.encodeTiles(zoomed).count())
+    // isolate mention kinds
+    val base = pages.select("url", "text")
+    t("regex_labeled")(base.select(regexp_extract_all(col("text"),
+      lit("""(?i)lat(?:itude)?\s*[:=]\s*(-?\d{1,2}\.\d+)\s*[,;\s]\s*(?:lon|lng|long)(?:itude)?\s*[:=]\s*(-?\d{1,3}\.\d+)"""),
+      lit(1)).as("m")).select(explode(col("m"))).count())
+    t("ngram_explode")(base.select(explode(split(lower(col("text")), "[^a-z]+")).as("t")).count())
+    spark.stop()
+  }
+}

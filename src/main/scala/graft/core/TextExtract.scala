@@ -34,6 +34,9 @@ object TextExtract {
 
   def extractString(html: String): String = {
     val n = html.length
+    // lowercased copy computed once — used only for tag-name search; the
+    // emitted text always comes from the original string
+    lazy val lowerHtml = html.toLowerCase(java.util.Locale.ROOT)
     val out = new java.lang.StringBuilder(n / 2)
     var i = 0
     while (i < n) {
@@ -53,7 +56,7 @@ object TextExtract {
           val tagEnd = html.indexOf('>', j)
           if (tagEnd < 0) { i = n } // unterminated tag: drop rest
           else if (!closing && (name == "script" || name == "style")) {
-            val close = html.toLowerCase(java.util.Locale.ROOT).indexOf(s"</$name", tagEnd)
+            val close = lowerHtml.indexOf(s"</$name", tagEnd)
             if (close < 0) i = n
             else {
               val ce = html.indexOf('>', close)

@@ -46,8 +46,22 @@ object GeoPipeline {
     concat(toks, bi, tri)
   }
 
-  /** pages(url, text, …) → mentions(url, lat, lon, kind, name). */
+  /** pages(url, text, …) → mentions(url, lat, lon, kind, name) via ONE
+    * codegen'd expression pass (geoparse_mentions) — the production path.
+    */
   def pagesToMentions(pages: DataFrame): DataFrame = {
+    import graft.functions.geoparse.geoparse_mentions
+    pages.select(col("url"), explode(geoparse_mentions(col("text"))).as("m"))
+      .select(col("url"), col("m.lat").as("lat"), col("m.lon").as("lon"),
+        col("m.kind").as("kind"), col("m.name").as("name"))
+  }
+
+  /** Pure-relational formulation of the same extraction (regexp passes +
+    * n-gram explode + broadcast gazetteer join) — kept as the cross-check
+    * path: tests assert it produces the same multiset as the expression
+    * path / scalar parser.
+    */
+  def pagesToMentionsRelational(pages: DataFrame): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
     val base = pages.select("url", "text")

@@ -30,6 +30,27 @@ case class PipContainsExpr(first: Expression, second: Expression, third: Express
     copy(first = f, second = s, third = t)
 }
 
+/** pip_query(cell, lon, lat) → array of admin_ids covering the point,
+  * resolved through the per-cell STRtree (registry/res are literals).
+  */
+case class PipQueryExpr(first: Expression, second: Expression, third: Expression,
+    registry: Int, res: Int)
+    extends TernaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pip_query"
+  override protected def nullSafeEval(cell: Any, lon: Any, lat: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      PolyRegistry.queryTree(registry, res, cell.asInstanceOf[Long],
+        lon.asInstanceOf[Double], lat.asInstanceOf[Double]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (cell, lon, lat) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.sources.PolyRegistry.queryTree($registry, $res, $cell, $lon, $lat))")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 /** Broadcast point-in-polygon join via hex-cell prefix (BASELINE.json
   * north_star: "point-in-polygon joins against admin-boundary polygons
   * using a broadcast R-tree per H3 cell prefix").
@@ -78,18 +99,50 @@ object SpatialJoin {
       .drop("__cell", "cover_cell")
   }
 
+  /** R-tree variant: instead of the equi-join + post-filter, each point
+    * queries the STRtree of its cell's candidate polygons directly (one
+    * codegen'd expression + explode; zero joins). Preferable when many
+    * polygons share a cover cell — at 10⁵+ admin polygons the per-cell
+    * tree turns the candidate scan into O(log n). Same output as pipJoin.
+    */
+  def pipJoinRtree(points: DataFrame, res: Int = AdminPolygons.CoverRes,
+                   registry: Int = PolyRegistry.Admin): DataFrame = {
+    val hits = column(PipQueryExpr(
+      expression(geo.hex_cell(col("lon"), col("lat"), lit(res))),
+      expression(col("lon")), expression(col("lat")), registry, res))
+    points
+      .withColumn("admin_id", explode(hits))
+  }
+
   /** Left variant: points matching no polygon survive with null admin
     * columns (the null-test surface: "features outside all polygons join
     * to nothing"). `keyCol` must uniquely identify a point row.
     */
   def pipJoinLeft(points: DataFrame, keyCol: String,
                   res: Int = AdminPolygons.CoverRes,
-                  level: Option[Int] = None): DataFrame = {
-    val matched = pipJoin(points, res, level)
-    val unmatched = points
-      .join(matched.select(keyCol).distinct(), Seq(keyCol), "left_anti")
-      .withColumn("admin_id", lit(null).cast("long"))
-      .withColumn("admin_name", lit(null).cast("string"))
-    matched.unionByName(unmatched)
+                  level: Option[Int] = None,
+                  registry: Int = PolyRegistry.Admin): DataFrame = {
+    // Single pass (no recompute of the expensive input branch): left-join
+    // the broadcast cover, evaluate exact PIP per candidate, then keep hit
+    // rows plus exactly one null-tagged row for all-miss points via a
+    // window over the point key (one shuffle).
+    import org.apache.spark.sql.expressions.Window
+    val spark = points.sparkSession
+    val cover = polygonCover(spark, res, level, registry)
+    val w = Window.partitionBy(keyCol)
+    val cand = points
+      .withColumn("__cell", geo.hex_cell(col("lon"), col("lat"), lit(res)))
+      .join(broadcast(cover), col("__cell") === col("cover_cell"), "left")
+      .withColumn("__hit",
+        col("admin_id").isNotNull &&
+          pip_contains(col("admin_id"), col("lon"), col("lat"), registry))
+      .withColumn("__any", max(when(col("__hit"), 1).otherwise(0)).over(w))
+      .withColumn("__rn", row_number().over(
+        w.orderBy(col("__hit").desc, col("admin_id").asc_nulls_last)))
+    cand
+      .filter(col("__hit") || (col("__any") === 0 && col("__rn") === 1))
+      .withColumn("admin_id", when(col("__hit"), col("admin_id")))
+      .withColumn("admin_name", when(col("__hit"), col("admin_name")))
+      .drop("__cell", "cover_cell", "__hit", "__any", "__rn")
   }
 }

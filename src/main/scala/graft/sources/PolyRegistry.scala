@@ -43,6 +43,52 @@ object PolyRegistry {
   def contains(registry: Int, adminId: Long, lon: Double, lat: Double): Boolean =
     byId(registry).get(adminId).exists(_.contains(lon, lat))
 
+  // ---- broadcast R-tree per cell prefix (north_star wording) ----
+  // For registries with many polygons per cover cell, candidate lookup
+  // inside a cell goes through a JTS STRtree of prepared geometries. The
+  // registry is deterministic, so each executor JVM builds identical
+  // trees lazily — semantically equivalent to broadcasting them.
+  import org.locationtech.jts.index.strtree.STRtree
+  import org.locationtech.jts.geom.{Coordinate, Envelope, GeometryFactory}
+  import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
+
+  private val treeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), STRtree]()
+  private lazy val gfStatic = new GeometryFactory()
+
+  private def prepared(registry: Int, id: Long): PreparedGeometry =
+    PreparedGeometryFactory.prepare(
+      AdminPolygons.toJts(byId(registry)(id)))
+
+  /** STRtree of the polygons whose cover includes `cell` (at `res`). */
+  def treeForCell(registry: Int, res: Int, cell: Long): STRtree =
+    treeCache.computeIfAbsent((registry, res, cell), { _ =>
+      val t = new STRtree()
+      polys(registry).foreach { p =>
+        if (AdminPolygons.cellCover(p, res).contains(cell)) {
+          val (x1, y1, x2, y2) = p.bbox
+          t.insert(new Envelope(x1, x2, y1, y2), (p.adminId, prepared(registry, p.adminId)))
+        }
+      }
+      t.build()
+      t
+    })
+
+  /** All admin ids whose polygon covers the point, via the cell's R-tree. */
+  def queryTree(registry: Int, res: Int, cell: Long,
+                lon: Double, lat: Double): Array[Long] = {
+    val tree = treeForCell(registry, res, cell)
+    val hits = tree.query(new Envelope(lon, lon, lat, lat))
+    val out = Array.newBuilder[Long]
+    val it = hits.iterator()
+    val pt = gfStatic.createPoint(new Coordinate(lon, lat))
+    while (it.hasNext) {
+      val (id, prep) = it.next().asInstanceOf[(Long, PreparedGeometry)]
+      if (prep.covers(pt)) out += id
+    }
+    out.result()
+  }
+
   /** Half-plane SQL predicate for a CCW convex ring (oracle generation). */
   def halfPlaneSql(p: AdminPolygon, lonCol: String, latCol: String): String = {
     val n = p.xs.length - 1 // closed ring

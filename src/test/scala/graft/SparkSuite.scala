@@ -65,6 +65,12 @@ class GeoPipelineSpec extends AnyFunSuite {
       .select("url", "lat", "lon", "kind")
       .as[(String, Double, Double, String)].collect()
       .groupBy(identity).view.mapValues(_.length).toMap
+    // relational formulation must agree with the expression path
+    val relMentions = graft.operators.GeoPipeline.pagesToMentionsRelational(pages)
+      .select("url", "lat", "lon", "kind")
+      .as[(String, Double, Double, String)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(relMentions === dfMentions)
     val scalarMentions = pages.select("url", "text").as[(String, String)].collect()
       .flatMap { case (url, text) =>
         Geoparse.parse(text).map(m => (url, m.lat, m.lon, m.kind))
