@@ -30,6 +30,12 @@ object Main {
       // at 100 TB the default 128 MB splits are right, here they serialize
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.files.openCostInBytes", "512k")
+      // object-agg buffers are growth-bounded → keep hashing far longer
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      // shuffle on tmpfs: the sandbox disk shows burst-credit-like IOPS
+      // collapse under sustained writes — RAM-backed local dirs decouple
+      // measurements from it
+      .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -218,6 +218,25 @@ object SparkEntry {
       graft.operators.Raster.vectorize(
         graft.operators.Raster.cellCounts(derivedPoints(s, dir), res = 3))
     }),
+    // ---- model fitting: closed-form OLS / robust stats / robust stack ----
+    "q32_linear_fit" -> ((s, dir) => {
+      graft.operators.Fitting.linearFit(
+        t(s, dir, "events"), Seq("event_type"),
+        col("user_id").cast("double"), col("value"))
+    }),
+    "q33_robust_stats" -> ((s, dir) => {
+      graft.operators.Fitting.robustStats(
+        t(s, dir, "events"), Seq("event_type"), col("value"))
+    }),
+    "q34_robust_stack" -> ((s, dir) => {
+      graft.operators.Fitting.robustStack(
+        t(s, dir, "events"), Seq("event_type"), col("value"), minValid = 50)
+    }),
+    // ---- bootstrap envelope (counter-RNG resampling; rows-only) ----
+    "q35_bootstrap" -> ((s, dir) => {
+      graft.operators.Bootstrap.medianEnvelope(
+        t(s, dir, "events"), Seq("event_type"), col("value"), nBoot = 100)
+    }),
     // ---- multimodal: binary decode (stub) + resize/frame-sample plans ----
     "q51_multimodal" -> ((s, dir) => {
       val media = graft.operators.Multimodal.synthMedia(s,
@@ -425,10 +444,31 @@ object SparkEntry {
          |  CAST(floor((1.0 - ln(tan(pi() / 4.0 + radians(lat) / 2.0)) / pi()) / 2.0 * 8.0 * 64.0) AS BIGINT)
          |    - CAST(floor((1.0 - ln(tan(pi() / 4.0 + radians(lat) / 2.0)) / pi()) / 2.0 * 8.0) AS BIGINT) * 64 AS py,
          |  count(*) AS n
-         |FROM pts GROUP BY 2, 3, 4, 5""".stripMargin
+         |FROM pts GROUP BY 2, 3, 4, 5""".stripMargin,
+    "q32_linear_fit" ->
+      """SELECT event_type,
+        |  round(covar_pop(CAST(user_id AS DOUBLE), value) / var_pop(CAST(user_id AS DOUBLE)), 6) AS slope,
+        |  round(avg(value) - covar_pop(CAST(user_id AS DOUBLE), value) / var_pop(CAST(user_id AS DOUBLE)) * avg(CAST(user_id AS DOUBLE)), 6) AS intercept,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q33_robust_stats" ->
+      """WITH med AS (
+        |  SELECT event_type, median(value) AS med FROM events GROUP BY event_type)
+        |SELECT e.event_type,
+        |  round(any_value(med.med), 6) AS median,
+        |  round(median(abs(e.value - med.med)) * 1.4826, 6) AS mad_sigma,
+        |  count(*) AS n
+        |FROM events e JOIN med ON e.event_type = med.event_type
+        |GROUP BY e.event_type""".stripMargin,
+    "q34_robust_stack" ->
+      """SELECT event_type, count(value) AS n_valid,
+        |  round(CASE WHEN count(value) >= 50 THEN median(value) END, 6) AS med,
+        |  round(CASE WHEN count(value) >= 50 THEN quantile_cont(value, 0.16) END, 6) AS p16,
+        |  round(CASE WHEN count(value) >= 50 THEN quantile_cont(value, 0.84) END, 6) AS p84
+        |FROM events GROUP BY event_type""".stripMargin
     // rows-only (custom 64-bit hash/LSH/MVT bytes — not SQL-expressible):
     // q15_cell_encode, q17_polygon_tiles, q18_vectorize, q23_fingerprint,
     // q24_minhash_pairs, q25_simhash_pairs, q28_embedding_pairs,
-    // q51_multimodal
+    // q35_bootstrap, q51_multimodal
   )
 }

@@ -15,12 +15,11 @@ final case class TileRow(zoom: Int, x: Long, y: Long, n_features: Int,
   *    (no shuffle);
   *  - the single shuffle is the per-tile grouping, keyed by tile_id;
   *  - hot tiles (dense urban cells — the generator injects Zipf-skewed
-  *    city clusters) are bounded BEFORE the heavy shuffle by a two-phase
-  *    cap: a cheap partial-agg count pre-pass (map-side combine → tiny
-  *    result), then a deterministic hash-threshold pre-filter so no tile
-  *    carries more than ~cap·(1+ε) rows into the exact window cap. This
+  *    city clusters) are bounded by a size-cap bounded heap INSIDE the
+  *    per-tile reduction: exact deterministic top-cap in one streaming
+  *    pass, O(cap) memory per tile regardless of tile heat. This
   *    enforces the "hot tile ≤ 2× median partition" gate structurally,
-  *    with AQE skew-join/partition-coalescing enabled as backstop.
+  *    with AQE skew handling enabled as backstop.
   *  - per-tile MVT encode streams through mapGroups (iterator, no
   *    collect_list materialization spike).
   *
@@ -64,43 +63,39 @@ object Tiler {
 
   /** Encode pre-assigned (zoom, tile_id, fkey, lon, lat, kind, name) rows
     * into MVT tiles.
+    *
+    * Hot-tile bound: a bounded max-heap of size `cap` inside mapGroups —
+    * the EXACT deterministic top-cap by (fkey, lon, lat) in one streaming
+    * pass with O(cap) memory per tile, no count pre-pass, no extra join
+    * (one shuffle total; a mega-hot urban tile streams through the
+    * iterator but never materializes).
     */
   def encodeTiles(zoomed: DataFrame, cap: Int = 4096,
                   layerName: String = "features"): Dataset[TileRow] = {
     val spark = zoomed.sparkSession
     import spark.implicits._
 
-    // phase 1: per-tile counts (map-side partial agg → small shuffle)
-    val counts = zoomed.groupBy("tile_id").agg(count(lit(1)).as("tile_n"))
+    val proj = zoomed.select(
+        col("tile_id"), col("fkey"), col("lon"), col("lat"),
+        col("kind"), col("name"))
+      .as[(Long, Long, Double, Double, String, String)]
 
-    // phase 2: deterministic hash-threshold pre-filter for hot tiles —
-    // keep ≈ cap·1.25 rows so the exact cap still has full support
-    val keepNum = (cap * 1.25).toLong
-    val prefiltered = zoomed
-      .join(counts, Seq("tile_id"))
-      .filter(col("tile_n") <= keepNum ||
-        pmod(col("fkey"), col("tile_n")) < lit(keepNum))
-
-    // phase 3: exact deterministic cap + streaming MVT encode per tile
-    val proj = prefiltered.select(
-      col("tile_id"), col("zoom"), col("lon"), col("lat"),
-      col("kind"), col("name"), col("fkey"))
-
-    proj.as[(Long, Int, Double, Double, String, String, Long)]
+    val topk = new TopKFeatures(cap).toColumn
+    proj
       .groupByKey(_._1)
-      .mapGroups { (tileId: Long, rows: Iterator[(Long, Int, Double, Double, String, String, Long)]) =>
+      .mapValues(r => Feat(r._2, r._3, r._4, r._5, r._6))
+      .agg(topk)
+      .map { case (tileId, feats) =>
         val zoom = WebMercator.tileIdZoom(tileId)
         val tx = WebMercator.tileIdX(tileId)
         val ty = WebMercator.tileIdY(tileId)
-        // deterministic order: by hash then coords (stable across runs)
-        val feats = rows.toArray.sortBy(r => (r._7, r._3, r._4)).take(cap)
-        val mvtFeatures = feats.zipWithIndex.map { case (r, i) =>
-          val lx = WebMercator.localX(r._3, zoom, tx)
-          val ly = WebMercator.localY(r._4, zoom, ty)
+        val mvtFeatures = feats.zipWithIndex.map { case (f, i) =>
+          val lx = WebMercator.localX(f.lon, zoom, tx)
+          val ly = WebMercator.localY(f.lat, zoom, ty)
           MvtEncoder.Feature(i.toLong + 1, MvtEncoder.GeomPoint,
             Array(Array((lx, ly))),
-            Seq("kind" -> MvtEncoder.SVal(r._5)) ++
-              (if (r._6.nonEmpty) Seq("name" -> MvtEncoder.SVal(r._6)) else Nil))
+            Seq("kind" -> MvtEncoder.SVal(f.kind)) ++
+              (if (f.name.nonEmpty) Seq("name" -> MvtEncoder.SVal(f.name)) else Nil))
         }
         val bytes = MvtEncoder.encodeTile(Seq(layerName -> mvtFeatures.toSeq))
         TileRow(zoom, tx, ty, feats.length, bytes)
