@@ -64,7 +64,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "200000").toLong
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
-    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "420").toDouble
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "200").toDouble
     val pagesPath = s"/tmp/graft-bench-pages-$nPages"
 
     // ---- queries first (the driver-facing numbers) ----
@@ -124,7 +124,7 @@ object Bench {
         (r._2, listener.taskSeconds)
       }
       val pairs = scala.collection.mutable.ArrayBuffer.empty[((Double, Double), (Double, Double))]
-      while (pairs.length < 3 && (pairs.isEmpty || elapsed < budget)) {
+      while (pairs.length < 2 && (pairs.isEmpty || elapsed < budget)) {
         pairs += ((once(coresLow), once(coresHigh)))
       }
       val (tLow, taskLow) = pairs.map(_._1).minBy(_._1)
