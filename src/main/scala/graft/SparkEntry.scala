@@ -142,11 +142,14 @@ object SparkEntry {
       graft.operators.KnnJoin.knn(qs, pts, k = 5)
         .withColumn("rank", col("rank").cast("long"))
     }),
-    // ---- full tiler path (assign→cap→group→MVT encode); oracle: counts ----
+    // ---- full tiler path (assign→cap→group→MVT encode); oracle: counts.
+    //      cap is explicit Int.MaxValue: the oracle counts ALL points per
+    //      tile, so the capped variant would silently diverge at a scale
+    //      factor where a hot tile exceeds the default cap ----
     "q14_tile_counts_via_tiler" -> ((s, dir) => {
       val pts = derivedPoints(s, dir)
         .select(col("lon"), col("lat"), col("doc_id").cast("string").as("name"))
-      graft.operators.Tiler.buildTiles(pts, Seq(4, 6)).toDF()
+      graft.operators.Tiler.buildTiles(pts, Seq(4, 6), cap = Int.MaxValue).toDF()
         .select(col("zoom").cast("long").as("zoom"), col("x"), col("y"),
           col("n_features").cast("long").as("n_features"))
     }),
@@ -179,6 +182,17 @@ object SparkEntry {
       val qs = e.filter(pmod(col("vec_id"), lit(100)) === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       graft.operators.Similarity.bruteForceTopK(qs, e, k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+    // ---- similarity: IVF ANN top-k (deterministic stride-seeded Lloyd;
+    //      zero-shuffle codegen'd assign; oracle: pinned fixture) ----
+    "q29_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val cents = graft.operators.Similarity.trainCentroids(e, nCentroids = 16,
+        iters = 2)
+      graft.operators.Similarity.ivfTopK(qs, e, cents, k = 10, nProbe = 4)
         .withColumn("rank", col("rank").cast("long"))
     }),
     // ---- similarity: embedding near-dup pairs via RP-LSH (rows-only) ----
@@ -231,6 +245,39 @@ object SparkEntry {
     "q34_robust_stack" -> ((s, dir) => {
       graft.operators.Fitting.robustStack(
         t(s, dir, "events"), Seq("event_type"), col("value"), minValid = 50)
+    }),
+    // ---- per-group NONLINEAR Gaussian fit (Gauss–Newton per group);
+    //      samples derived from events by SQL-expressible math so the
+    //      oracle can refit independently via log-quadratic closed form ----
+    "q36_gauss_fit" -> ((s, dir) => {
+      val g = pmod(col("event_id"), lit(5)).cast("double")
+      val x = (pmod(col("event_id"), lit(81)).cast("double") - 40.0) / 10.0
+      val amp = lit(2.0) + g
+      val mu = (g - 2.0) * 0.5
+      val sg = lit(0.8) + g * 0.1
+      val y = amp * exp(-((x - mu) * (x - mu)) / (lit(2.0) * sg * sg))
+      val samples = t(s, dir, "events")
+        .select(pmod(col("event_id"), lit(5)).cast("long").as("grp"),
+          x.as("x"), y.as("y"))
+      graft.operators.Fitting.gaussianFit(samples, Seq("grp"), col("x"), col("y"))
+        .withColumn("grp", col("grp").cast("long"))
+    }),
+    // ---- Huber IRLS robust regression (fixed-iteration; SQL-replicable) ----
+    "q37_huber_fit" -> ((s, dir) => {
+      graft.operators.Fitting.huberFit(t(s, dir, "events"), Seq("event_type"),
+        col("user_id").cast("double"), col("value"), iters = 3)
+    }),
+    // ---- per-group trapezoid integral (EW integral analog) ----
+    "q38_trapezoid" -> ((s, dir) => {
+      graft.operators.Fitting.trapezoidIntegral(t(s, dir, "events"),
+        Seq("event_type"),
+        (pmod(col("event_id"), lit(10000)).cast("double") / 100.0), col("value"))
+    }),
+    // ---- support-driven auto-shrink stack (grid retry as column logic) ----
+    "q39_auto_shrink" -> ((s, dir) => {
+      graft.operators.Fitting.autoShrinkStack(t(s, dir, "events"),
+        Seq("event_type"), col("value"), binWidth = 2.0, shrink = 2,
+        minPerBin = 20, minFracFine = 0.3, minFracCoarse = 0.2, minBins = 5)
     }),
     // ---- bootstrap envelope (counter-RNG resampling; rows-only) ----
     "q35_bootstrap" -> ((s, dir) => {
@@ -460,6 +507,124 @@ object SparkEntry {
         |  count(*) AS n
         |FROM events e JOIN med ON e.event_type = med.event_type
         |GROUP BY e.event_type""".stripMargin,
+    // Independent oracle for the Gauss–Newton fit: on noise-free samples,
+    // ln y is exactly quadratic in x, so a closed-form quadratic LS fit of
+    // (x, ln y) — Cramer's rule over moment sums — recovers the same
+    // (amp, mu, sigma) the nonlinear optimizer converges to.
+    "q36_gauss_fit" ->
+      """WITH samples AS (
+        |  SELECT event_id % 5 AS grp,
+        |    (CAST(event_id % 81 AS DOUBLE) - 40.0) / 10.0 AS x,
+        |    (2.0 + CAST(event_id % 5 AS DOUBLE)) *
+        |      exp(-(((CAST(event_id % 81 AS DOUBLE) - 40.0) / 10.0
+        |              - (CAST(event_id % 5 AS DOUBLE) - 2.0) * 0.5)
+        |            * ((CAST(event_id % 81 AS DOUBLE) - 40.0) / 10.0
+        |              - (CAST(event_id % 5 AS DOUBLE) - 2.0) * 0.5))
+        |          / (2.0 * (0.8 + CAST(event_id % 5 AS DOUBLE) * 0.1)
+        |                 * (0.8 + CAST(event_id % 5 AS DOUBLE) * 0.1))) AS y
+        |  FROM events),
+        |m AS (
+        |  SELECT grp, count(*) AS n,
+        |    sum(1.0) AS s0, sum(x) AS s1, sum(x*x) AS s2,
+        |    sum(x*x*x) AS s3, sum(x*x*x*x) AS s4,
+        |    sum(ln(y)) AS t0, sum(x*ln(y)) AS t1, sum(x*x*ln(y)) AS t2
+        |  FROM samples GROUP BY grp),
+        |c AS (
+        |  SELECT grp, n,
+        |    (s0*(s2*s4-s3*s3) - s1*(s1*s4-s3*s2) + s2*(s1*s3-s2*s2)) AS det,
+        |    (t0*(s2*s4-s3*s3) - s1*(t1*s4-s3*t2) + s2*(t1*s3-s2*t2)) AS d0,
+        |    (s0*(t1*s4-t2*s3) - t0*(s1*s4-s3*s2) + s2*(s1*t2-s2*t1)) AS d1,
+        |    (s0*(s2*t2-s3*t1) - s1*(s1*t2-s2*t1) + t0*(s1*s3-s2*s2)) AS d2
+        |  FROM m)
+        |SELECT CAST(grp AS BIGINT) AS grp,
+        |  round(exp(d0/det - (d1/det)*(d1/det)/(4.0*(d2/det))), 6) AS amp,
+        |  round(-(d1/det)/(2.0*(d2/det)), 6) AS mu,
+        |  round(sqrt(-1.0/(2.0*(d2/det))), 6) AS sigma,
+        |  n
+        |FROM c""".stripMargin,
+    // Exact replication of the fixed-iteration IRLS: OLS init, fixed scale
+    // s = 1.4826·median|r0|, then 3 Huber-weighted closed-form passes.
+    "q37_huber_fit" -> {
+      val k = "1.345"
+      def iterCte(prev: String, name: String) =
+        s"""$name AS (
+           |  SELECT g,
+           |    (swy - (sw*swxy - swx*swy)/(sw*swxx - swx*swx)*swx)/sw AS b0,
+           |    (sw*swxy - swx*swy)/(sw*swxx - swx*swx) AS b1, s, n FROM (
+           |    SELECT w0.g AS g, any_value(s) AS s, count(*) AS n,
+           |      sum(w) AS sw, sum(w*x) AS swx, sum(w*y) AS swy,
+           |      sum(w*x*x) AS swxx, sum(w*x*y) AS swxy
+           |    FROM (
+           |      SELECT base.g, x, y, s,
+           |        CASE WHEN s <= 0 OR abs(y-(b0+b1*x)) <= $k*s THEN 1.0
+           |             ELSE $k*s/abs(y-(b0+b1*x)) END AS w
+           |      FROM base JOIN $prev ON base.g = $prev.g) w0
+           |    GROUP BY w0.g))""".stripMargin
+      s"""WITH base AS (
+         |  SELECT event_type AS g, CAST(user_id AS DOUBLE) AS x, value AS y
+         |  FROM events),
+         |ols AS (
+         |  SELECT g, covar_pop(x,y)/var_pop(x) AS b1,
+         |    avg(y) - covar_pop(x,y)/var_pop(x)*avg(x) AS b0
+         |  FROM base GROUP BY g),
+         |p0 AS (
+         |  SELECT base.g AS g, any_value(b0) AS b0, any_value(b1) AS b1,
+         |    median(abs(y - (b0 + b1*x))) * 1.4826 AS s
+         |  FROM base JOIN ols ON base.g = ols.g GROUP BY base.g),
+         |${iterCte("p0", "p1")},
+         |${iterCte("p1", "p2")},
+         |${iterCte("p2", "p3")}
+         |SELECT g AS event_type, round(b0, 6) AS intercept,
+         |  round(b1, 6) AS slope, round(s, 6) AS scale, n
+         |FROM p3""".stripMargin
+    },
+    "q38_trapezoid" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(event_id % 10000 AS DOUBLE) / 100.0 AS x, value AS y
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type, x, y,
+        |    lag(x) OVER (PARTITION BY event_type ORDER BY x ASC, y ASC) AS xp,
+        |    lag(y) OVER (PARTITION BY event_type ORDER BY x ASC, y ASC) AS yp
+        |  FROM b)
+        |SELECT event_type, round(sum((x-xp)*(y+yp)/2.0), 6) AS integral,
+        |  count(*) AS n
+        |FROM l GROUP BY event_type""".stripMargin,
+    "q39_auto_shrink" ->
+      """WITH e AS (SELECT event_type, value AS v FROM events),
+        |fc AS (SELECT event_type, count(*) AS nb,
+        |         sum(CASE WHEN c >= 20 THEN 1 ELSE 0 END) AS nv
+        |       FROM (SELECT event_type, floor(v/2.0) AS b, count(*) AS c
+        |             FROM e GROUP BY 1, 2) GROUP BY event_type),
+        |cc AS (SELECT event_type, count(*) AS nb,
+        |         sum(CASE WHEN c >= 20 THEN 1 ELSE 0 END) AS nv
+        |       FROM (SELECT event_type, floor(v/4.0) AS b, count(*) AS c
+        |             FROM e GROUP BY 1, 2) GROUP BY event_type),
+        |ch AS (SELECT fc.event_type,
+        |         CASE WHEN fc.nv >= 5 AND fc.nv*1.0/fc.nb >= 0.3 THEN 'fine'
+        |              WHEN cc.nv >= 5 AND cc.nv*1.0/cc.nb >= 0.2 THEN 'coarse'
+        |              ELSE 'fail' END AS grid,
+        |         fc.nv AS nv_f, cc.nv AS nv_c
+        |       FROM fc JOIN cc ON fc.event_type = cc.event_type),
+        |mf AS (SELECT e.event_type, median(v) AS med FROM e
+        |       JOIN (SELECT event_type, floor(v/2.0) AS b, count(*) AS c
+        |             FROM e GROUP BY 1, 2) t
+        |         ON e.event_type = t.event_type AND floor(e.v/2.0) = t.b
+        |       WHERE t.c >= 20 GROUP BY e.event_type),
+        |mc AS (SELECT e.event_type, median(v) AS med FROM e
+        |       JOIN (SELECT event_type, floor(v/4.0) AS b, count(*) AS c
+        |             FROM e GROUP BY 1, 2) t
+        |         ON e.event_type = t.event_type AND floor(e.v/4.0) = t.b
+        |       WHERE t.c >= 20 GROUP BY e.event_type)
+        |SELECT ch.event_type, grid,
+        |  CAST(CASE WHEN grid = 'fine' THEN nv_f
+        |            WHEN grid = 'coarse' THEN nv_c END AS BIGINT) AS n_valid_bins,
+        |  round(CASE WHEN grid = 'fine' THEN mf.med
+        |             WHEN grid = 'coarse' THEN mc.med END, 6) AS med
+        |FROM ch
+        |LEFT JOIN mf ON ch.event_type = mf.event_type
+        |LEFT JOIN mc ON ch.event_type = mc.event_type""".stripMargin,
     "q34_robust_stack" ->
       """SELECT event_type, count(value) AS n_valid,
         |  round(CASE WHEN count(value) >= 50 THEN median(value) END, 6) AS med,

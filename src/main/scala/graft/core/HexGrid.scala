@@ -108,6 +108,23 @@ object HexGrid {
     out
   }
 
+  /** Boundary as a WKT POLYGON string (codegen-callable; Double.toString
+    * is locale-independent, so the text is byte-identical on any JVM).
+    */
+  def boundaryWkt(id: Long): String = {
+    val b = boundary(id)
+    val sb = new java.lang.StringBuilder(160)
+    sb.append("POLYGON ((")
+    var k = 0
+    while (k < b.length) {
+      if (k > 0) sb.append(", ")
+      sb.append(b(k)._1).append(' ').append(b(k)._2)
+      k += 1
+    }
+    sb.append("))")
+    sb.toString
+  }
+
   private val axialDirs: Array[(Int, Int)] =
     Array((1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1))
 

@@ -96,6 +96,46 @@ object TextHash {
     h
   }
 
+  /** Distinct word n-gram shingles as STRINGS, first-occurrence order —
+    * semantics pinned to the SQL form `array_distinct(n-grams of
+    * lower(trim(text)) split on \s+)`, with the short-text fallback of a
+    * single all-tokens gram. One static call replaces an interpreted
+    * HOF pipeline (transform/element_at/concat_ws are not codegen'd and
+    * dominated the n-gram dedup runtime ~4×).
+    */
+  def wordNgrams(s: String, n: Int): Array[String] = {
+    val toks = tokens(s)
+    val out = new java.util.LinkedHashSet[String]()
+    if (toks.length < n) {
+      out.add(toks.mkString(" "))
+    } else {
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out.add(sb.toString)
+        i += 1
+      }
+    }
+    out.toArray(new Array[String](out.size))
+  }
+
+  /** All `bands` LSH band keys of a text's MinHash signature in one call —
+    * lets the banded-join fan-out stay inside whole-stage codegen (one
+    * expression → array, no HOF lambdas over a materialized signature).
+    */
+  def minhashBandKeys(s: String, k: Int, bands: Int, shingle: Int): Array[Long] = {
+    val sig = minhash(s, k, shingle)
+    val rpb = k / bands
+    Array.tabulate(bands)(b => bandKey(sig, b, rpb))
+  }
+
   /** Exact Jaccard similarity of word n-gram shingle sets. */
   def jaccardShingles(a: String, b: String, n: Int): Double = {
     val sa = shingleHashes(a, n).toSet

@@ -67,6 +67,23 @@ case class TileIdExpr(first: Expression, second: Expression, third: Expression)
       f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
 }
 
+/** hex_wkt(cell) → String — hex-cell boundary as a WKT polygon (the
+  * vectorize output path, kept codegen'd like every other kernel).
+  */
+case class HexWktExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "hex_wkt"
+  override protected def nullSafeEval(cell: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      graft.core.HexGrid.boundaryWkt(cell.asInstanceOf[Long]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.core.HexGrid.boundaryWkt($c))")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** Column-level API + SQL registration. */
 object geo {
   import org.apache.spark.sql.GraftBridge.{column, expression}
@@ -77,6 +94,7 @@ object geo {
     column(HexCellExpr(expression(lon), expression(lat), expression(res)))
   def tile_id(lon: Column, lat: Column, zoom: Column): Column =
     column(TileIdExpr(expression(lon), expression(lat), expression(zoom)))
+  def hex_wkt(cell: Column): Column = column(HexWktExpr(expression(cell)))
 
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

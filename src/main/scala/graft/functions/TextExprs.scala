@@ -48,6 +48,71 @@ case class MinHashExpr(child: Expression, k: Int, shingle: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** minhash_bands(text, k, bands, shingle) → array<bigint> of LSH band
+  * keys — signature + banding fused into one codegen'd call so the
+  * banded join explodes a small long array, never a HOF over the sig.
+  */
+case class MinHashBandsExpr(child: Expression, k: Int, bands: Int, shingle: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_bands"
+  override protected def nullSafeEval(s: Any): Any =
+    new GenericArrayData(graft.core.TextHash.minhashBandKeys(
+      s.asInstanceOf[UTF8String].toString, k, bands, shingle))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.core.TextHash.minhashBandKeys($s.toString(), $k, $bands, $shingle))")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** word_ngrams(text, n) → array<string> of distinct word n-gram shingles
+  * (first-occurrence order) — the codegen'd replacement for the
+  * interpreted HOF construction; used by exact n-gram Jaccard dedup.
+  */
+case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+  override protected def nullSafeEval(s: Any): Any =
+    WordNgramsKernel.grams(s.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"graft.functions.WordNgramsKernel.grams($s, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Standalone object (NOT the expression's companion): the companion's
+  * static forwarder for a method named like an inherited instance method
+  * (`eval`) is suppressed by scalac, which breaks Janino resolution and
+  * silently drops the whole subtree out of codegen.
+  */
+object WordNgramsKernel {
+  def grams(s: UTF8String, n: Int): GenericArrayData = {
+    val g = graft.core.TextHash.wordNgrams(s.toString, n)
+    val out = new Array[AnyRef](g.length)
+    var i = 0
+    while (i < g.length) { out(i) = UTF8String.fromString(g(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** extract_text(html binary) → string via the frozen TextExtract rule —
+  * the per-file parse kept codegen'd (reference: mvt/io_espre.py read_s1d
+  * per-file parse; here the byte-identical HTML→text rule).
+  */
+case class ExtractTextExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "extract_text"
+  override protected def nullSafeEval(b: Any): Any =
+    UTF8String.fromString(
+      graft.core.TextExtract.extract(b.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.core.TextExtract.extract($b))")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** jaccard_shingles(a, b, n) → double: exact word-n-gram Jaccard. */
 case class JaccardShinglesExpr(left: Expression, right: Expression, n: Int)
     extends BinaryExpression {
@@ -70,6 +135,10 @@ object text {
   def simhash64(c: Column): Column = column(SimHash64Expr(expression(c)))
   def minhash(c: Column, k: Int, shingle: Int): Column =
     column(MinHashExpr(expression(c), k, shingle))
+  def minhash_bands(c: Column, k: Int, bands: Int, shingle: Int): Column =
+    column(MinHashBandsExpr(expression(c), k, bands, shingle))
+  def extract_text(c: Column): Column = column(ExtractTextExpr(expression(c)))
+  def word_ngrams(c: Column, n: Int): Column = column(WordNgramsExpr(expression(c), n))
   def jaccard_shingles(a: Column, b: Column, n: Int): Column =
     column(JaccardShinglesExpr(expression(a), expression(b), n))
 }

@@ -43,6 +43,41 @@ case class RpSignatureExpr(child: Expression, nBits: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** nearest_centroid(vec) → int: argmax-cosine centroid id. The centroid
+  * table is embedded in the expression and ships with the serialized plan
+  * (ctx.addReferenceObj) — on a cluster every executor gets it with the
+  * task, no broadcast join, no shuffle (the IVF assign is a map).
+  */
+case class NearestCentroidExpr(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+  override protected def nullSafeEval(a: Any): Any =
+    graft.core.VecKernels.nearestCentroid(a.asInstanceOf[ArrayData], centroids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, v => s"graft.core.VecKernels.nearestCentroid($v, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** nearest_centroids(vec, k) → array<int>: top-k probe list per query. */
+case class NearestCentroidsExpr(child: Expression, centroids: Array[Array[Float]],
+    k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+  override protected def nullSafeEval(a: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.core.VecKernels.nearestCentroids(a.asInstanceOf[ArrayData], centroids, k))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, v =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.core.VecKernels.nearestCentroids($v, $ref, $k))")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object vec {
   import org.apache.spark.sql.GraftBridge.{column, expression}
 
@@ -52,4 +87,8 @@ object vec {
     column(DotExpr(expression(a), expression(b)))
   def rp_signature(a: Column, nBits: Int, seed: Long): Column =
     column(RpSignatureExpr(expression(a), nBits, seed))
+  def nearest_centroid(a: Column, centroids: Array[Array[Float]]): Column =
+    column(NearestCentroidExpr(expression(a), centroids))
+  def nearest_centroids(a: Column, centroids: Array[Array[Float]], k: Int): Column =
+    column(NearestCentroidsExpr(expression(a), centroids, k))
 }

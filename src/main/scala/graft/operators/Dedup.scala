@@ -1,15 +1,18 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.text
 import graft.functions.vec
 
 /** Deduplication operators for large-scale training-data pipelines.
   * All variants follow the same scale shape: cheap per-row signature
-  * (codegen'd) → banded equi-join to surface candidates (never all-pairs)
-  * → exact verification only on candidates — the candidate-then-verify
-  * discipline of the reference's coarse-then-exact pipeline stages.
+  * (codegen'd) → banded equi-join ON IDS ONLY to surface candidates
+  * (never all-pairs, never payloads through the fan-out) → exact
+  * verification with payloads joined back exactly once — the
+  * candidate-then-verify discipline of the reference's coarse-then-exact
+  * pipeline stages.
   */
 object Dedup {
   /** Exact dedup by full-text hash: one surviving row per distinct text.
@@ -26,27 +29,25 @@ object Dedup {
   /** MinHash+LSH near-dup pairs: signature k, `bands` bands (k/bands rows
     * per band), word-`shingle`-grams. Returns (id_a, id_b, jaccard) with
     * id_a < id_b and exact-verified jaccard ≥ threshold.
+    *
+    * Scale shape: the banded fan-out carries ONLY (band_key, id) — 16
+    * bytes/row instead of the document text; text is joined back once, on
+    * the (much smaller) distinct candidate-pair set, for verification.
     */
   def minhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    k: Int = 64, bands: Int = 16, shingle: Int = 3,
                    threshold: Double = 0.7): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val rowsPerBand = k / bands
-    val sigs = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
-      .withColumn("sig", text.minhash(col("txt"), k, shingle))
-    // band fan-out: (bandKey, id) — candidates collide on any band
-    val banded = sigs.select(col("id"), col("txt"),
-      explode(
-        transform(sequence(lit(0), lit(bands - 1)), b =>
-          // bandKey = xxhash of band index + the band's slice
-          xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
-      ).as("band_key"))
-    val a = banded.select(col("band_key"), col("id").as("id_a"), col("txt").as("txt_a"))
-    val b = banded.select(col("band_key"), col("id").as("id_b"), col("txt").as("txt_b"))
-    a.join(b, Seq("band_key"))
+    // one codegen'd expression computes signature + band keys together
+    val banded = docs.select(col(idCol).as("id"),
+      explode(text.minhash_bands(col(textCol), k, bands, shingle)).as("band_key"))
+    val a = banded.select(col("band_key"), col("id").as("id_a"))
+    val b = banded.select(col("band_key"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("band_key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "txt_a", "txt_b").distinct()
+      .select("id_a", "id_b").distinct()
+    val ta = docs.select(col(idCol).as("id_a"), col(textCol).as("txt_a"))
+    val tb = docs.select(col(idCol).as("id_b"), col(textCol).as("txt_b"))
+    cand.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
       .withColumn("jaccard", text.jaccard_shingles(col("txt_a"), col("txt_b"), shingle))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -54,7 +55,9 @@ object Dedup {
 
   /** SimHash near-dup pairs: 64-bit simhash, banded into four 16-bit
     * blocks (any pair within hamming ≤ 3 must agree on ≥1 block —
-    * pigeonhole); exact hamming verification on candidates.
+    * pigeonhole); exact hamming verification on candidates. The simhash
+    * itself (8 bytes) rides the fan-out — re-deriving it would cost more
+    * than carrying it.
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
@@ -76,38 +79,66 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** Exact word-n-gram Jaccard pairs via shingle-inverted-index join —
-    * fully SQL-expressible (oracle-checkable), no signatures. `blockCol`
-    * optionally restricts comparisons to equal-block rows.
+  /** Exact word-n-gram Jaccard pairs — fully SQL-expressible output
+    * (oracle-checkable), no signatures. `blockCol` optionally restricts
+    * comparisons to equal-block rows.
+    *
+    * Scale shape: PREFIX-FILTERED inverted index (Bayardo et al. WWW'07
+    * all-pairs; Xiao et al. PPJoin). Each doc indexes only its
+    * ⌊(1−t)·n⌋+1 globally-rarest shingles: any pair with Jaccard ≥ t has
+    * |A∩B| ≥ ⌈t·|A|⌉, and under a common total order two sets with that
+    * overlap must collide inside these prefixes — so exactness is
+    * preserved while the hottest (highest-df) shingles, the O(df²)
+    * blow-up of a naive index, drop out of most prefixes. A length filter
+    * (min ≥ t·max) prunes candidates further; verification re-joins the
+    * gram arrays once on the distinct candidate pairs.
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         n: Int, threshold: Double,
                         blockCol: Option[String] = None): DataFrame = {
-    // tokens → distinct n-gram shingles per doc (string form for SQL parity)
-    val toks = filter(split(lower(trim(col("txt"))), "\\s+"), t => length(t) > 0)
-    val grams = array_distinct(
-      when(size(toks) < n, array(concat_ws(" ", toks)))
-        .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)), i =>
-          concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))))
+    // tokens → distinct n-gram shingles per doc (string form for SQL
+    // parity), via ONE codegen'd expression — the interpreted HOF form
+    // (transform/element_at/concat_ws) cost ~4× the rest of the operator
     val base = docs.select(
       (col(idCol).as("id") +: col(textCol).as("txt") +:
         blockCol.map(c => col(c).as("blk")).toSeq): _*)
-      .withColumn("grams", grams.cast("array<string>"))
+      .withColumn("grams", text.word_ngrams(col("txt"), n))
       .withColumn("n_grams", size(col("grams")))
+      .drop("txt")
     val exploded = base.select(
       (Seq(col("id"), col("n_grams"), explode(col("grams")).as("gram")) ++
         blockCol.map(_ => col("blk")).toSeq): _*)
+    // global order = (document frequency asc, gram asc): rarest first
+    val dfWin = Window.partitionBy(
+      (blockCol.map(_ => col("blk")).toSeq :+ col("gram")): _*)
+    val docWin = Window.partitionBy(col("id"))
+      .orderBy(col("gram_df").asc, col("gram").asc)
+    val prefix = exploded
+      .withColumn("gram_df", count(lit(1)).over(dfWin))
+      .withColumn("rk", row_number().over(docWin))
+      // prefix length n − ⌈t·n⌉ + 1 (exact for Jaccard ≥ t; see Scaladoc)
+      .filter(col("rk") <=
+        col("n_grams") - ceil(lit(threshold) * col("n_grams")) + 1)
     val joinKeys = "gram" +: blockCol.map(_ => "blk").toSeq
-    val l = exploded.select(
+    val l = prefix.select(
       (col("gram") +: col("id").as("id_a") +: col("n_grams").as("na") +:
         blockCol.map(_ => col("blk")).toSeq): _*)
-    val r = exploded.select(
+    val r = prefix.select(
       (col("gram") +: col("id").as("id_b") +: col("n_grams").as("nb") +:
         blockCol.map(_ => col("blk")).toSeq): _*)
-    l.join(r, joinKeys)
+    val cand = l.join(r, joinKeys)
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "na", "nb")
-      .agg(count(lit(1)).as("inter"))
+      // length filter: Jaccard ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|)
+      .filter(least(col("na"), col("nb")) >=
+        lit(threshold) * greatest(col("na"), col("nb")))
+      .select("id_a", "id_b").distinct()
+    // exact verification: gram arrays joined back once per candidate pair
+    val ga = base.select(col("id").as("id_a"), col("grams").as("ga"),
+      col("n_grams").as("na"))
+    val gb = base.select(col("id").as("id_b"), col("grams").as("gb"),
+      col("n_grams").as("nb"))
+    cand.join(ga, Seq("id_a")).join(gb, Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -116,24 +147,29 @@ object Dedup {
 
   /** Embedding near-dup pairs: random-hyperplane LSH blocking (16-bit
     * blocks of an `nBits`-bit signature) + exact cosine verification.
+    * Vectors never ride the block fan-out — ids only; vectors join back
+    * once on the distinct candidate pairs.
     */
   def embeddingPairs(vecs: DataFrame, vecCol: String, idCol: String,
                      threshold: Double = 0.95, nBits: Int = 64,
                      blockBits: Int = 8, seed: Long = 77L): DataFrame = {
     val nBlocks = nBits / blockBits
     val mask = (1L << blockBits) - 1
-    val sigs = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("sig", vec.rp_signature(col("v"), nBits, seed))
+    val sigs = vecs.select(col(idCol).as("id"),
+      vec.rp_signature(col(vecCol), nBits, seed).as("sig"))
     val blocks = sigs.withColumn("block",
       explode(array((0 until nBlocks).map(i =>
         struct(lit(i).as("blk"),
           shiftright(col("sig"), i * blockBits).bitwiseAND(lit(mask)).as("key"))): _*)))
-      .select(col("id"), col("v"), col("block.blk"), col("block.key"))
-    val a = blocks.select(col("blk"), col("key"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = blocks.select(col("blk"), col("key"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("blk", "key"))
+      .select(col("id"), col("block.blk"), col("block.key"))
+    val a = blocks.select(col("blk"), col("key"), col("id").as("id_a"))
+    val b = blocks.select(col("blk"), col("key"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("blk", "key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "v_a", "v_b").distinct()
+      .select("id_a", "id_b").distinct()
+    val va = vecs.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val vb = vecs.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .withColumn("cos", vec.cosine_sim(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))

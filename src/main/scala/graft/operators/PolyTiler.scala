@@ -31,21 +31,36 @@ object PolyTiler {
     for (tx <- txMin to txMax; ty <- tyMin to tyMax) yield (tx, ty)
   }
 
-  /** Build the polygon layer for the given registry and zooms. */
+  /** Build the polygon layer for the given registry and zooms.
+    *
+    * The (polygon × tile) key fan-out happens ON EXECUTORS: the driver
+    * ships one row per (polygon id, zoom) — tiny even at 10⁵ polygons —
+    * and each task expands its polygons' covering tiles (at z12 worldwide
+    * that is millions of rows the driver never holds). One shuffle groups
+    * by tile; clipping/encoding stream per tile via mapGroups against the
+    * per-JVM cached registry geometries.
+    */
   def buildPolygonTiles(spark: SparkSession, zooms: Seq[Int],
                         registry: Int = PolyRegistry.Admin,
                         layerName: String = "admin",
                         extent: Int = WebMercator.Extent): Dataset[TileRow] = {
     import spark.implicits._
-    val keys: Seq[(Long, Long)] = for {
-      p <- PolyRegistry.polys(registry)
-      z <- zooms
-      (tx, ty) <- coveringTiles(p, z)
-    } yield (WebMercator.tileId(z, tx, ty), p.adminId)
     val reg = registry
     val ext = extent
     val layer = layerName
-    keys.toDF("tile_id", "admin_id")
+    val zoomsArr = zooms.toArray
+    val ids = PolyRegistry.polys(registry).map(_.adminId)
+    val parts = math.max(spark.sparkContext.defaultParallelism,
+      ids.length * zoomsArr.length / 64)
+    val keys = spark.createDataset(
+        for { id <- ids; z <- zoomsArr.toSeq } yield (id, z))
+      .repartition(math.min(parts, ids.length * zoomsArr.length))
+      .flatMap { case (id: Long, z: Int) =>
+        coveringTiles(PolyRegistry.polyById(reg, id), z).iterator
+          .map { case (tx, ty) => (WebMercator.tileId(z, tx, ty), id) }
+      }
+      .toDF("tile_id", "admin_id")
+    keys
       .repartition(col("tile_id"))
       .as[(Long, Long)]
       .groupByKey(_._1)
@@ -74,8 +89,8 @@ object PolyTiler {
     // DP tolerance: one pixel in degrees at this tile
     val tolerance = (lonMax - lonMin) / extent
     val feats = adminIds.toSeq.flatMap { id =>
-      val p = PolyRegistry.polys(registry).find(_.adminId == id).get
-      val jts = graft.sources.AdminPolygons.toJts(p)
+      val p = PolyRegistry.polyById(registry, id)
+      val jts = PolyRegistry.jts(registry, id) // per-JVM cached geometry
       val clipped = jts.intersection(envelope)
       if (clipped.isEmpty) None
       else {

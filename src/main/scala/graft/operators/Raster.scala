@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.HexGrid
 import graft.functions.geo
 
 /** Raster ↔ vector operators (BASELINE.json north_rule "raster↔vector").
@@ -47,15 +46,9 @@ object Raster {
       .groupBy("cell").agg(count(lit(1)).as("n"))
   }
 
-  /** cell counts → WKT hexagon polygons (vectorize). */
-  def vectorize(cells: DataFrame): DataFrame = {
-    val spark = cells.sparkSession
-    import spark.implicits._
-    val wkt = udf { (cell: Long) =>
-      val b = HexGrid.boundary(cell)
-      b.map { case (lon, lat) => s"$lon $lat" }
-        .mkString("POLYGON ((", ", ", "))")
-    }
-    cells.withColumn("wkt", wkt(col("cell")))
-  }
+  /** cell counts → WKT hexagon polygons (vectorize) — codegen'd hex_wkt
+    * expression, no closure udf in the path.
+    */
+  def vectorize(cells: DataFrame): DataFrame =
+    cells.withColumn("wkt", geo.hex_wkt(col("cell")))
 }

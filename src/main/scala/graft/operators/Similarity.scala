@@ -10,7 +10,9 @@ import graft.functions.vec
   * Baseline: brute-force cosine top-k (broadcast the small query side —
   * exact, one pass over the corpus, no corpus shuffle; the 100 TB shape).
   * Scale path: IVF — Lloyd-iterated centroids (driver-coordinated, tiny),
-  * corpus partitioned by nearest centroid, queries probe `nProbe` nearest
+  * corpus assigned to its nearest centroid by ONE codegen'd expression
+  * (`nearest_centroid`, centroids embedded in the serialized plan — zero
+  * joins, zero shuffle for the assign), queries probe `nProbe` nearest
   * lists. Recall measured against brute force in tests.
   */
 object Similarity {
@@ -31,30 +33,28 @@ object Similarity {
 
   /** IVF index: `nCentroids` centroids refined by `iters` Lloyd steps
     * (means computed distributedly, centroids collected — tiny). Returns
-    * (centroid_id, centroid_vec) and corpus assignment is recomputed on
-    * demand (cheap, codegen'd).
+    * centroid vectors indexed by centroid id; corpus assignment is a
+    * codegen'd expression over this array (cheap to recompute).
     */
   def trainCentroids(corpus: DataFrame, nCentroids: Int, iters: Int = 3,
                      cId: String = "vec_id", cVec: String = "embedding")
-      : Array[(Int, Array[Float])] = {
+      : Array[Array[Float]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // deterministic seeding: evenly-strided corpus rows as initial centroids
     val n = corpus.count()
     val stride = math.max(1L, n / nCentroids)
-    var centroids: Array[(Int, Array[Float])] = corpus
+    var centroids: Array[Array[Float]] = corpus
       .filter(pmod(col(cId), lit(stride)) === 0)
       .orderBy(col(cId))
       .limit(nCentroids)
       .select(col(cVec)).as[Array[Float]].collect()
-      .zipWithIndex.map { case (v, i) => (i, v) }
 
     for (_ <- 0 until iters) {
-      val cDf = centroids.toSeq.toDF("centroid_id", "centroid_vec")
-      val assigned = assign(corpus, cDf, cVec)
       // dimension-wise mean via posexplode + partial-agg avg (scales:
-      // shuffle keyed by (centroid, dim), never materializes a list)
-      val means = assigned
+      // shuffle keyed by (centroid, dim), never materializes a list);
+      // the assign itself is a zero-shuffle codegen'd map
+      val means = assign(corpus, centroids, cVec)
         .select(col("centroid_id"), posexplode(col(cVec)).as(Seq("pos", "v")))
         .groupBy("centroid_id", "pos").agg(avg("v").as("m"))
         .groupBy("centroid_id")
@@ -63,43 +63,30 @@ object Similarity {
         .as[(Int, Array[Float])].collect()
       // keep old centroid when a cluster went empty
       val byId = means.toMap
-      centroids = centroids.map { case (i, v) => (i, byId.getOrElse(i, v)) }
+      centroids = centroids.zipWithIndex.map { case (v, i) => byId.getOrElse(i, v) }
     }
     centroids
   }
 
-  /** Assign each corpus row to its nearest centroid (broadcast NL join +
-    * window min — centroid count is small).
+  /** Assign each corpus row to its nearest centroid — one codegen'd
+    * expression, centroids ride the serialized plan. No join, no shuffle.
     */
-  def assign(corpus: DataFrame, centroids: DataFrame,
-             cVec: String = "embedding"): DataFrame = {
-    val w = Window.partitionBy(col("__rowkey")).orderBy(
-      col("__cos").desc, col("centroid_id").asc)
-    corpus.withColumn("__rowkey", monotonically_increasing_id())
-      .crossJoin(broadcast(centroids))
-      .withColumn("__cos", vec.cosine_sim(col(cVec), col("centroid_vec")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__cos", "__rowkey", "centroid_vec")
-  }
+  def assign(corpus: DataFrame, centroids: Array[Array[Float]],
+             cVec: String = "embedding"): DataFrame =
+    corpus.withColumn("centroid_id", vec.nearest_centroid(col(cVec), centroids))
 
-  /** IVF top-k: probe the `nProbe` nearest centroid lists per query. */
+  /** IVF top-k: probe the `nProbe` nearest centroid lists per query.
+    * Corpus side never shuffles (assign is a map; probes broadcast); only
+    * the probed candidate subset flows into the per-query ranking window.
+    */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
-              centroids: Array[(Int, Array[Float])], k: Int, nProbe: Int = 2,
+              centroids: Array[Array[Float]], k: Int, nProbe: Int = 2,
               qId: String = "q_id", qVec: String = "q_vec",
               cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val cDf = centroids.toSeq.toDF("centroid_id", "centroid_vec")
-    val assigned = assign(corpus, cDf, cVec) // corpus rows + centroid_id
-    // query → nProbe nearest centroids
-    val wq = Window.partitionBy(col(qId)).orderBy(col("__cos").desc,
-      col("centroid_id").asc)
-    val probes = queries.crossJoin(broadcast(cDf))
-      .withColumn("__cos", vec.cosine_sim(col(qVec), col("centroid_vec")))
-      .withColumn("__rn", row_number().over(wq))
-      .filter(col("__rn") <= nProbe)
-      .select(col(qId), col(qVec), col("centroid_id"))
+    val assigned = assign(corpus, centroids, cVec)
+    val probes = queries
+      .withColumn("centroid_id",
+        explode(vec.nearest_centroids(col(qVec), centroids, nProbe)))
     val w = Window.partitionBy(col(qId))
       .orderBy(col("cosine").desc, col(cId).asc)
     assigned.join(broadcast(probes), Seq("centroid_id"))

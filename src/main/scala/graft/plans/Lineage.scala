@@ -67,8 +67,11 @@ object Lineage {
     metrics.write.mode(SaveMode.Overwrite).parquet(metricsPath)
 
     val (rows, bytes) = {
+      // coalesce: an empty tiles frame (e.g. a --resume rerun with nothing
+      // pending) must commit an empty snapshot, not NPE on null sums
       val r = spark.read.parquet(metricsPath)
-        .agg(sum("row_count"), sum("bytes")).head
+        .agg(coalesce(sum("row_count"), lit(0L)),
+          coalesce(sum("bytes"), lit(0L))).head
       (r.getLong(0), r.getLong(1))
     }
 

@@ -24,16 +24,17 @@ object BinaryPages {
   }
 
   /** Glob-scan a directory of HTML files → (path, html, text) with the
-    * frozen extraction rule applied.
+    * frozen extraction rule applied — one codegen'd expression, no
+    * closure udf, no global sort (a 100 TB scan must not Exchange before
+    * extraction; callers that need an order sort their own, smaller,
+    * derived output).
     */
   def readHtmlDir(spark: SparkSession, dir: String,
                   glob: String = "*.html"): DataFrame = {
-    val extractUdf = udf((b: Array[Byte]) => graft.core.TextExtract.extract(b))
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(dir)
       .select(col("path"), col("content").as("html"))
-      .withColumn("text", extractUdf(col("html")))
-      .orderBy("path")
+      .withColumn("text", graft.functions.text.extract_text(col("html")))
   }
 }

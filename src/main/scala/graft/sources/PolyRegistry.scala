@@ -39,6 +39,18 @@ object PolyRegistry {
   private lazy val byId: Array[Map[Long, AdminPolygon]] =
     Array(AdminPolygons.byId, oracleTriangles.map(p => p.adminId -> p).toMap)
 
+  /** O(1) polygon lookup by (registry, id). */
+  def polyById(registry: Int, id: Long): AdminPolygon = byId(registry)(id)
+
+  // raw JTS geometries, built once per (registry, id) per JVM — clip/
+  // intersection callers (PolyTiler) never rebuild coordinate arrays
+  private val jtsCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Long), org.locationtech.jts.geom.Geometry]()
+
+  def jts(registry: Int, id: Long): org.locationtech.jts.geom.Geometry =
+    jtsCache.computeIfAbsent((registry, id),
+      { _ => AdminPolygons.toJts(byId(registry)(id)) })
+
   /** Static PIP entry point for codegen. */
   def contains(registry: Int, adminId: Long, lon: Double, lat: Double): Boolean =
     byId(registry).get(adminId).exists(_.contains(lon, lat))
@@ -52,27 +64,62 @@ object PolyRegistry {
   import org.locationtech.jts.geom.{Coordinate, Envelope, GeometryFactory}
   import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
 
-  private val treeCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), STRtree]()
   private lazy val gfStatic = new GeometryFactory()
 
-  private def prepared(registry: Int, id: Long): PreparedGeometry =
-    PreparedGeometryFactory.prepare(
-      AdminPolygons.toJts(byId(registry)(id)))
+  // prepared geometries are built ONCE per (registry, id) and shared by
+  // every per-cell tree — memory is O(polygons), not O(cells touched)
+  private val preparedCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), PreparedGeometry]()
+
+  def prepared(registry: Int, id: Long): PreparedGeometry =
+    preparedCache.computeIfAbsent((registry, id), { _ =>
+      PreparedGeometryFactory.prepare(AdminPolygons.toJts(byId(registry)(id)))
+    })
+
+  // cell → polygon-id inverted index, built ONCE per (registry, res) by a
+  // single pass over the registry (invert cellCover) — first touch per
+  // cell is then O(polys-in-cell), never O(all polys × bbox cells)
+  private val coverIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Map[Long, Array[Long]]]()
+
+  def coverIndex(registry: Int, res: Int): Map[Long, Array[Long]] =
+    coverIndexCache.computeIfAbsent((registry, res), { _ =>
+      val m = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      polys(registry).foreach { p =>
+        AdminPolygons.cellCover(p, res).foreach { c =>
+          m.getOrElseUpdate(c, scala.collection.mutable.ArrayBuffer.empty) += p.adminId
+        }
+      }
+      m.view.mapValues(_.toArray.sorted).toMap
+    })
+
+  // per-cell STRtrees cache only the tree structure (cheap: envelopes +
+  // shared prepared refs); bounded — beyond the bound trees are rebuilt
+  // per miss from the O(polys-in-cell) cover index, which is fast
+  private val MaxCachedTrees = 65536
+  private val treeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), STRtree]()
+
+  private def buildTree(registry: Int, res: Int, cell: Long): STRtree = {
+    val t = new STRtree()
+    coverIndex(registry, res).getOrElse(cell, Array.empty[Long]).foreach { id =>
+      val (x1, y1, x2, y2) = byId(registry)(id).bbox
+      t.insert(new Envelope(x1, x2, y1, y2), (id, prepared(registry, id)))
+    }
+    t.build()
+    t
+  }
 
   /** STRtree of the polygons whose cover includes `cell` (at `res`). */
   def treeForCell(registry: Int, res: Int, cell: Long): STRtree =
-    treeCache.computeIfAbsent((registry, res, cell), { _ =>
-      val t = new STRtree()
-      polys(registry).foreach { p =>
-        if (AdminPolygons.cellCover(p, res).contains(cell)) {
-          val (x1, y1, x2, y2) = p.bbox
-          t.insert(new Envelope(x1, x2, y1, y2), (p.adminId, prepared(registry, p.adminId)))
-        }
-      }
-      t.build()
-      t
-    })
+    if (treeCache.size >= MaxCachedTrees) {
+      val t = treeCache.get((registry, res, cell))
+      if (t != null) t else buildTree(registry, res, cell)
+    } else {
+      treeCache.computeIfAbsent((registry, res, cell),
+        { _ => buildTree(registry, res, cell) })
+    }
 
   /** All admin ids whose polygon covers the point, via the cell's R-tree. */
   def queryTree(registry: Int, res: Int, cell: Long,

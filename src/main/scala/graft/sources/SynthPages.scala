@@ -102,16 +102,22 @@ object SynthPages {
         (u * u * Gazetteer.entries.length).toInt.min(Gazetteer.entries.length - 1)
       }
       val (name, clat, clon) = Gazetteer.entries(cityIdx)
+      // Locale.ROOT: generated coordinate text must be byte-identical on
+      // any JVM (a comma-decimal default locale would break the geoparse
+      // regexes and the determinism claim)
+      def fmt(pat: String, a: Double, b: Double): String =
+        String.format(java.util.Locale.ROOT, pat,
+          a.asInstanceOf[AnyRef], b.asInstanceOf[AnyRef])
       Rng.nextInt(seed, baseId, 4200L + m, 3) match {
         case 0 => s"visit ${name} today"
         case 1 =>
           val lat = clat + (Rng.uniform(seed, baseId, 4300L + m) - 0.5) * 4.0
           val lon = clon + (Rng.uniform(seed, baseId, 4400L + m) - 0.5) * 4.0
-          f"location (${lat}%.6f, ${lon}%.6f) nearby"
+          fmt("location (%.6f, %.6f) nearby", lat, lon)
         case _ =>
           val lat = clat + (Rng.uniform(seed, baseId, 4500L + m) - 0.5) * 4.0
           val lon = clon + (Rng.uniform(seed, baseId, 4600L + m) - 0.5) * 4.0
-          f"pin geo:${lat}%.5f,${lon}%.5f here"
+          fmt("pin geo:%.5f,%.5f here", lat, lon)
       }
     }
   }
