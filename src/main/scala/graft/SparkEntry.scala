@@ -308,7 +308,12 @@ object SparkEntry {
   private def knnQueryValuesSql: String =
     knnQueryPoints.map { case (i, lo, la) => s"($i, $lo, $la)" }.mkString(", ")
 
-  def oracleSql: Map[String, String] = Map(
+  /** SQL-derivable oracles below; queries whose outputs are custom 64-bit
+    * hashes / LSH pair lists / MVT bytes get pinned VALUES fixtures from
+    * graft.OracleFixtures (generated at sf0.01 — the driver's correctness
+    * scale; real verification is the ScalaTest parity/property suite).
+    */
+  def oracleSql: Map[String, String] = OracleFixtures.sql ++ Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,
