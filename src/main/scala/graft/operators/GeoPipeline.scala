@@ -83,22 +83,14 @@ object GeoPipeline {
     */
   def pagesToFeatures(spark: SparkSession, pages: DataFrame,
                       s2Level: Int = 16, hexRes: Int = 8): DataFrame = {
-    import graft.functions.geoparse.geoparse_mentions
-    // deterministic point key (monotonically_increasing_id is partition-
-    // layout dependent → breaks resume/scale parity; a content hash is
-    // not). The mention's position within its page is hashed in so two
-    // IDENTICAL mentions on one page keep distinct keys — pipJoinLeft
-    // requires a unique key for consistent multiset semantics.
-    val mentions = pages
-      .select(col("url"), posexplode(geoparse_mentions(col("text"))).as(Seq("midx", "m")))
-      .select(col("url"), col("midx"), col("m.lat").as("lat"), col("m.lon").as("lon"),
-        col("m.kind").as("kind"), col("m.name").as("name"))
+    val mentions = pagesToMentions(pages)
       .withColumn("s2_cell", geo.s2_cell(col("lat"), col("lon"), lit(s2Level)))
       .withColumn("hex_cell", geo.hex_cell(col("lon"), col("lat"), lit(hexRes)))
       .withColumn("tile_z12", geo.tile_id(col("lon"), col("lat"), lit(12)))
-    SpatialJoin.pipJoinLeft(
-      mentions.withColumn("point_id", xxhash64(col("url"), col("midx"))),
-      "point_id", level = Some(2))
-      .drop("point_id", "midx")
+    // zero-shuffle left PIP: per-row R-tree candidate lookup +
+    // explode_outer — no window, no unique-key requirement, the mention
+    // stream never exchanges before tiling (one shuffle in the whole
+    // pipeline: the tiler's groupBy tile)
+    SpatialJoin.pipJoinLeftRtree(mentions, level = Some(2))
   }
 }

@@ -34,18 +34,18 @@ case class PipContainsExpr(first: Expression, second: Expression, third: Express
   * resolved through the per-cell STRtree (registry/res are literals).
   */
 case class PipQueryExpr(first: Expression, second: Expression, third: Expression,
-    registry: Int, res: Int)
+    registry: Int, res: Int, level: Int = -1)
     extends TernaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "pip_query"
   override protected def nullSafeEval(cell: Any, lon: Any, lat: Any): Any =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      PolyRegistry.queryTree(registry, res, cell.asInstanceOf[Long],
+      PolyRegistry.queryTree(registry, res, level, cell.asInstanceOf[Long],
         lon.asInstanceOf[Double], lat.asInstanceOf[Double]))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (cell, lon, lat) =>
       s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.sources.PolyRegistry.queryTree($registry, $res, $cell, $lon, $lat))")
+        s"graft.sources.PolyRegistry.queryTree($registry, $res, $level, $cell, $lon, $lat))")
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression =
     copy(first = f, second = s, third = t)
@@ -106,12 +106,42 @@ object SpatialJoin {
     * tree turns the candidate scan into O(log n). Same output as pipJoin.
     */
   def pipJoinRtree(points: DataFrame, res: Int = AdminPolygons.CoverRes,
-                   registry: Int = PolyRegistry.Admin): DataFrame = {
+                   registry: Int = PolyRegistry.Admin,
+                   level: Option[Int] = None): DataFrame = {
     val hits = column(PipQueryExpr(
       expression(geo.hex_cell(col("lon"), col("lat"), lit(res))),
-      expression(col("lon")), expression(col("lat")), registry, res))
+      expression(col("lon")), expression(col("lat")), registry, res,
+      level.getOrElse(-1)))
     points
       .withColumn("admin_id", explode(hits))
+  }
+
+  /** Zero-shuffle LEFT PIP tag: per-row candidate lookup through the
+    * per-cell STRtree expression, `explode_outer` for the miss row (null
+    * admin), names attached via a broadcast of the tiny registry table.
+    * Same output multiset as `pipJoinLeft` but with NO window and NO
+    * unique-key requirement — the big side never exchanges, which at
+    * 100 TB removes the single most expensive shuffle of the MVT
+    * pipeline (round-2 stage audit: the window stage cost as much as the
+    * whole geoparse map stage).
+    */
+  def pipJoinLeftRtree(points: DataFrame, res: Int = AdminPolygons.CoverRes,
+                       registry: Int = PolyRegistry.Admin,
+                       level: Option[Int] = None): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val hits = column(PipQueryExpr(
+      expression(geo.hex_cell(col("lon"), col("lat"), lit(res))),
+      expression(col("lon")), expression(col("lat")), registry, res,
+      level.getOrElse(-1)))
+    val all = PolyRegistry.polys(registry)
+    val polys = level.fold(all)(l => all.filter(_.level == l))
+    val names = polys.map(p => (p.adminId, p.name)).toDF("admin_id", "admin_name")
+    val inCols = points.columns
+    points
+      .withColumn("admin_id", explode_outer(hits))
+      .join(broadcast(names), Seq("admin_id"), "left")
+      .select((inCols.map(col) :+ col("admin_id") :+ col("admin_name")): _*)
   }
 
   /** Left variant: points matching no polygon survive with null admin

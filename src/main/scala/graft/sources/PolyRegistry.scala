@@ -97,35 +97,47 @@ object PolyRegistry {
   // per-cell STRtrees cache only the tree structure (cheap: envelopes +
   // shared prepared refs); bounded — beyond the bound trees are rebuilt
   // per miss from the O(polys-in-cell) cover index, which is fast
-  private val MaxCachedTrees = 65536
-  private val treeCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), STRtree]()
+  // The full cell→STRtree map per (registry, res, level) is built ONCE
+  // per JVM by inverting the cover index (the "broadcast R-tree per cell
+  // prefix": the registry is deterministic, every executor materializes
+  // identical trees). The per-ROW path is then a single lock-free
+  // immutable-map lookup — no tuple-key CHM hit, no lazy build race.
+  private val treeSetCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Map[Long, STRtree]]()
 
-  private def buildTree(registry: Int, res: Int, cell: Long): STRtree = {
-    val t = new STRtree()
-    coverIndex(registry, res).getOrElse(cell, Array.empty[Long]).foreach { id =>
-      val (x1, y1, x2, y2) = byId(registry)(id).bbox
-      t.insert(new Envelope(x1, x2, y1, y2), (id, prepared(registry, id)))
-    }
-    t.build()
-    t
-  }
+  private def treesFor(registry: Int, res: Int, level: Int): Map[Long, STRtree] =
+    treeSetCache.computeIfAbsent((registry, res, level), { _ =>
+      coverIndex(registry, res).map { case (cell, ids) =>
+        val t = new STRtree()
+        ids.foreach { id =>
+          val p = byId(registry)(id)
+          if (level < 0 || p.level == level) {
+            val (x1, y1, x2, y2) = p.bbox
+            t.insert(new Envelope(x1, x2, y1, y2), (id, prepared(registry, id)))
+          }
+        }
+        t.build()
+        cell -> t
+      }
+    })
 
-  /** STRtree of the polygons whose cover includes `cell` (at `res`). */
-  def treeForCell(registry: Int, res: Int, cell: Long): STRtree =
-    if (treeCache.size >= MaxCachedTrees) {
-      val t = treeCache.get((registry, res, cell))
-      if (t != null) t else buildTree(registry, res, cell)
-    } else {
-      treeCache.computeIfAbsent((registry, res, cell),
-        { _ => buildTree(registry, res, cell) })
-    }
+  /** STRtree of the polygons whose cover includes `cell` (at `res`),
+    * optionally restricted to one admin level (level < 0 = all).
+    */
+  def treeForCell(registry: Int, res: Int, level: Int, cell: Long): STRtree =
+    treesFor(registry, res, level).getOrElse(cell, EmptyTree)
+
+  private lazy val EmptyTree = { val t = new STRtree(); t.build(); t }
+
+  private val EmptyHits = Array.empty[Long]
 
   /** All admin ids whose polygon covers the point, via the cell's R-tree. */
-  def queryTree(registry: Int, res: Int, cell: Long,
+  def queryTree(registry: Int, res: Int, level: Int, cell: Long,
                 lon: Double, lat: Double): Array[Long] = {
-    val tree = treeForCell(registry, res, cell)
+    val tree = treesFor(registry, res, level).getOrElse(cell, null)
+    if (tree == null) return EmptyHits
     val hits = tree.query(new Envelope(lon, lon, lat, lat))
+    if (hits.isEmpty) return EmptyHits
     val out = Array.newBuilder[Long]
     val it = hits.iterator()
     val pt = gfStatic.createPoint(new Coordinate(lon, lat))
