@@ -41,7 +41,7 @@ object Bench {
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
       // small synthetic tables must still split across all cores —
       // at 100 TB the default 128 MB splits are right, here they serialize
-      .config("spark.sql.files.maxPartitionBytes", "2m")
+      .config("spark.sql.files.maxPartitionBytes", "1m")
       .config("spark.sql.files.openCostInBytes", "512k")
       // object-agg buffers are growth-bounded → keep hashing far longer
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
@@ -137,8 +137,13 @@ object Bench {
       val coresLow = sys.env.getOrElse("SPARK_GRAFT_SCALE_LOW", "2").toInt
       val coresHigh = sys.env.getOrElse("SPARK_GRAFT_SCALE_HIGH", "8").toInt
       val maxPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "3").toInt
+      // scaling input defaults to 2× the headline table: at 200k pages a
+      // clean 8-core run is ~2 s and fixed per-job cost (planning, stage
+      // setup) eats ~5-10% of it; 400k amortizes that below the gate's
+      // noise floor while keeping low-core exposure to host-steal bursts
+      // short (~11 s)
       val scalePages = sys.env.get("SPARK_GRAFT_SCALE_PAGES").map(_.toLong)
-        .getOrElse(nPages)
+        .getOrElse(nPages * 2)
       val scalePath =
         if (scalePages == nPages) pagesPath
         else {

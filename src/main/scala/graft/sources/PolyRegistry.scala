@@ -131,21 +131,73 @@ object PolyRegistry {
 
   private val EmptyHits = Array.empty[Long]
 
-  /** All admin ids whose polygon covers the point, via the cell's R-tree. */
+  // Dense-cell threshold: below it a flat candidate array + pure-double
+  // bbox/ray-cast test beats the JTS tree (no Envelope/Point/ArrayList
+  // allocation per row); above it the per-cell STRtree engages — the
+  // "broadcast R-tree per cell prefix" structure for 10⁵-polygon
+  // registries where one cover cell can hold hundreds of candidates.
+  private val TreeThreshold = 16
+
+  /** Per-cell flat candidates: (id, bbox, polygon) sorted by id. */
+  private final case class Cand(id: Long, x1: Double, y1: Double,
+                                x2: Double, y2: Double, p: AdminPolygon)
+  private val candCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int, Int), Map[Long, Array[Cand]]]()
+
+  private def candsFor(registry: Int, res: Int, level: Int): Map[Long, Array[Cand]] =
+    candCache.computeIfAbsent((registry, res, level), { _ =>
+      coverIndex(registry, res).view.mapValues { ids =>
+        ids.flatMap { id =>
+          val p = byId(registry)(id)
+          if (level < 0 || p.level == level) {
+            val (x1, y1, x2, y2) = p.bbox
+            Some(Cand(id, x1, y1, x2, y2, p))
+          } else None
+        }
+      }.toMap
+    })
+
+  /** All admin ids whose polygon covers the point: flat scan for sparse
+    * cells, R-tree for dense ones. Exact ray-cast either way.
+    */
   def queryTree(registry: Int, res: Int, level: Int, cell: Long,
                 lon: Double, lat: Double): Array[Long] = {
-    val tree = treesFor(registry, res, level).getOrElse(cell, null)
-    if (tree == null) return EmptyHits
-    val hits = tree.query(new Envelope(lon, lon, lat, lat))
-    if (hits.isEmpty) return EmptyHits
-    val out = Array.newBuilder[Long]
-    val it = hits.iterator()
-    val pt = gfStatic.createPoint(new Coordinate(lon, lat))
-    while (it.hasNext) {
-      val (id, prep) = it.next().asInstanceOf[(Long, PreparedGeometry)]
-      if (prep.covers(pt)) out += id
+    val cands = candsFor(registry, res, level).getOrElse(cell, null)
+    if (cands == null || cands.length == 0) return EmptyHits
+    if (cands.length <= TreeThreshold) {
+      var n = 0
+      var i = 0
+      while (i < cands.length) {
+        val c = cands(i)
+        if (lon >= c.x1 && lon <= c.x2 && lat >= c.y1 && lat <= c.y2 &&
+            c.p.contains(lon, lat)) n += 1
+        i += 1
+      }
+      if (n == 0) return EmptyHits
+      val out = new Array[Long](n)
+      var k = 0
+      i = 0
+      while (i < cands.length) {
+        val c = cands(i)
+        if (lon >= c.x1 && lon <= c.x2 && lat >= c.y1 && lat <= c.y2 &&
+            c.p.contains(lon, lat)) { out(k) = c.id; k += 1 }
+        i += 1
+      }
+      out
+    } else {
+      val tree = treesFor(registry, res, level).getOrElse(cell, null)
+      if (tree == null) return EmptyHits
+      val hits = tree.query(new Envelope(lon, lon, lat, lat))
+      if (hits.isEmpty) return EmptyHits
+      val out = Array.newBuilder[Long]
+      val it = hits.iterator()
+      val pt = gfStatic.createPoint(new Coordinate(lon, lat))
+      while (it.hasNext) {
+        val (id, prep) = it.next().asInstanceOf[(Long, PreparedGeometry)]
+        if (prep.covers(pt)) out += id
+      }
+      out.result().sorted
     }
-    out.result()
   }
 
   /** Half-plane SQL predicate for a CCW convex ring (oracle generation). */
