@@ -279,6 +279,15 @@ object SparkEntry {
         Seq("event_type"), col("value"), binWidth = 2.0, shrink = 2,
         minPerBin = 20, minFracFine = 0.3, minFracCoarse = 0.2, minBins = 5)
     }),
+    // ---- injection-recovery depth sweep with bootstrap CI (reference
+    //      injection.py:8-21 + saveio.py:40-52); profiles derived from
+    //      events by pure integer math so the oracle replays it in SQL ----
+    "q40_injection_sweep" -> ((s, dir) => {
+      graft.operators.Injection.depthSweep(
+        graft.operators.Injection.profilesFromEvents(t(s, dir, "events")),
+        depths = Seq(0.0, 0.01, 0.02, 0.05, 0.10, 0.20),
+        sigma = 1.0, halfWindow = 1.5, nBoot = 64)
+    }),
     // ---- bootstrap envelope (counter-RNG resampling; rows-only) ----
     "q35_bootstrap" -> ((s, dir) => {
       graft.operators.Bootstrap.medianEnvelope(
@@ -635,7 +644,46 @@ object SparkEntry {
         |  round(CASE WHEN count(value) >= 50 THEN median(value) END, 6) AS med,
         |  round(CASE WHEN count(value) >= 50 THEN quantile_cont(value, 0.16) END, 6) AS p16,
         |  round(CASE WHEN count(value) >= 50 THEN quantile_cont(value, 0.84) END, 6) AS p84
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q40_injection_sweep" ->
+      // mirrors Injection.depthSweep exactly: same LCG picks (31-bit safe
+      // arithmetic), same median stack, same p16/p84 envelope
+      """WITH prof AS (
+        |  SELECT event_id // 81 AS exp,
+        |    (CAST(event_id % 81 AS DOUBLE) - 40.0) / 10.0 AS x,
+        |    (CAST(((event_id // 81) * 31 + (event_id % 81) * 17) % 13 AS DOUBLE) - 6.0) / 100.0 AS y
+        |  FROM events
+        |  WHERE event_id < 810 AND (event_id // 81) % 3 > 0),
+        |depths AS (SELECT * FROM (VALUES (0.0),(0.01),(0.02),(0.05),(0.10),(0.20)) AS d(depth)),
+        |inj AS (SELECT d.depth, p.exp, p.x,
+        |          p.y - d.depth * exp(-0.5 * p.x * p.x) AS y_inj
+        |        FROM prof p CROSS JOIN depths d),
+        |stacked AS (SELECT depth, x, median(y_inj) AS med FROM inj GROUP BY 1, 2),
+        |rec AS (SELECT depth, -min(med) AS rec FROM stacked
+        |        WHERE abs(x) <= 1.5 GROUP BY 1),
+        |exps AS (SELECT exp, row_number() OVER (ORDER BY exp) - 1 AS it_idx
+        |         FROM (SELECT DISTINCT exp FROM prof)),
+        |n AS (SELECT count(*) AS n_it FROM exps),
+        |picks AS (SELECT b.boot, e.it_idx AS slot,
+        |            ((1103515245 * (b.boot * 131071 + e.it_idx) + 12345) % 2147483647)
+        |              % (SELECT n_it FROM n) AS pick
+        |          FROM exps e
+        |          CROSS JOIN (SELECT unnest(range(64)) AS boot) b),
+        |bprof AS (SELECT i.depth, pk.boot, pk.slot, i.x, i.y_inj
+        |          FROM picks pk
+        |          JOIN exps e ON e.it_idx = pk.pick
+        |          JOIN inj i ON i.exp = e.exp),
+        |bstack AS (SELECT depth, boot, x, median(y_inj) AS med
+        |           FROM bprof GROUP BY 1, 2, 3),
+        |brec AS (SELECT depth, boot, -min(med) AS rec_b FROM bstack
+        |         WHERE abs(x) <= 1.5 GROUP BY 1, 2),
+        |ci AS (SELECT depth, quantile_cont(rec_b, 0.16) AS lo,
+        |         quantile_cont(rec_b, 0.84) AS hi FROM brec GROUP BY 1)
+        |SELECT round(r.depth * 100.0, 6) AS inj_depth_percent,
+        |  round(r.rec * 100.0, 6) AS rec_depth_percent,
+        |  round(ci.lo * 100.0, 6) AS rec_lo_percent,
+        |  round(ci.hi * 100.0, 6) AS rec_hi_percent
+        |FROM rec r JOIN ci USING (depth)""".stripMargin
     // rows-only (custom 64-bit hash/LSH/MVT bytes — not SQL-expressible):
     // q15_cell_encode, q17_polygon_tiles, q18_vectorize, q23_fingerprint,
     // q24_minhash_pairs, q25_simhash_pairs, q28_embedding_pairs,

@@ -179,3 +179,61 @@ class BinaryPagesSpec extends AnyFunSuite {
     assert(texts.toSeq === orig.toSeq) // byte-identical extraction
   }
 }
+
+class InjectionSpec extends AnyFunSuite {
+  import SharedSpark._
+  import graft.operators.Injection
+
+  /** Clean profiles (zero residual noise): recovery must be EXACT —
+    * the stacked median of identical injected kernels is the kernel,
+    * whose windowed minimum is at x=0 where it equals -depth. */
+  test("zero-noise recovery is exact and the bootstrap envelope is degenerate") {
+    import spark.implicits._
+    val prof = spark.range(0, 6 * 81, 1, 4)
+      .select((col("id") / 81).cast("long").as("exp"),
+        ((pmod(col("id"), lit(81)).cast("double") - 40.0) / 10.0).as("x"),
+        lit(0.0).as("y"), lit(true).as("in_transit"))
+    val sweep = Injection.depthSweep(prof, Seq(0.0, 0.05, 0.10),
+      sigma = 1.0, halfWindow = 2.0, nBoot = 16)
+      .orderBy("inj_depth_percent").collect()
+    assert(sweep.map(_.getDouble(0)).toSeq === Seq(0.0, 5.0, 10.0))
+    sweep.foreach { r =>
+      assert(r.getDouble(1) === r.getDouble(0)) // rec == inj exactly
+      assert(r.getDouble(2) === r.getDouble(0)) // lo degenerate
+      assert(r.getDouble(3) === r.getDouble(0)) // hi degenerate
+    }
+  }
+
+  test("sweep is parallelism-invariant and OOT exposures are excluded") {
+    val base = Injection.profilesFromEvents(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+    def run(parts: Int) = Injection.depthSweep(base.repartition(parts),
+      Seq(0.01, 0.10), sigma = 1.0, halfWindow = 1.5, nBoot = 32)
+      .orderBy("inj_depth_percent").collect().toSeq
+    assert(run(1) === run(7))
+    // envelope brackets: lo <= hi, recovery monotone in injection
+    val rows = run(4)
+    rows.foreach(r => assert(r.getDouble(2) <= r.getDouble(3)))
+    assert(rows(0).getDouble(1) < rows(1).getDouble(1))
+  }
+
+  test("writeInjectionCsv emits the reference CSV artifact layout") {
+    import spark.implicits._
+    val prof = spark.range(0, 4 * 81, 1, 2)
+      .select((col("id") / 81).cast("long").as("exp"),
+        ((pmod(col("id"), lit(81)).cast("double") - 40.0) / 10.0).as("x"),
+        lit(0.0).as("y"), lit(true).as("in_transit"))
+    val sweep = Injection.depthSweep(prof, Seq(0.02, 0.04),
+      sigma = 1.0, halfWindow = 1.0, nBoot = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-inj")
+      .resolve("injection.csv").toString
+    Injection.writeInjectionCsv(sweep, path)
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path))
+    assert(lines.get(0) ===
+      "inj_depth_percent,rec_depth_percent,rec_lo_percent,rec_hi_percent")
+    assert(lines.size === 3)
+    assert(lines.get(1) === "2.000000,2.000000,2.000000,2.000000")
+    assert(lines.get(2) === "4.000000,4.000000,4.000000,4.000000")
+  }
+}
