@@ -109,7 +109,8 @@ object Bench {
       "q14_tile_counts_via_tiler", "q16_rasterize", "q20_text_stats",
       "q24_minhash_pairs", "q26_ngram_jaccard", "q27_ann_topk",
       "q28_embedding_pairs", "q29_ivf_topk", "q30_asof_nearest",
-      "q31_window_agg", "q36_gauss_fit", "q37_huber_fit")
+      "q31_window_agg", "q36_gauss_fit", "q37_huber_fit",
+      "q40_injection_sweep", "q51_multimodal")
     val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") == "1"
     val results = if (!doQueries) Seq.empty else headline.map { name =>
       val fn = SparkEntry.queries(name)
