@@ -279,6 +279,11 @@ object SparkEntry {
         Seq("event_type"), col("value"), binWidth = 2.0, shrink = 2,
         minPerBin = 20, minFracFine = 0.3, minFracCoarse = 0.2, minBins = 5)
     }),
+    // ---- Gopher/C4 repetition quality metrics (one codegen'd pass) ----
+    "q41_repetition" -> ((s, dir) => {
+      graft.operators.TextAnalysis.repetitionStats(
+        t(s, dir, "documents"), "text", "doc_id")
+    }),
     // ---- injection-recovery depth sweep with bootstrap CI (reference
     //      injection.py:8-21 + saveio.py:40-52); profiles derived from
     //      events by pure integer math so the oracle replays it in SQL ----
@@ -645,6 +650,36 @@ object SparkEntry {
         |  round(CASE WHEN count(value) >= 50 THEN quantile_cont(value, 0.16) END, 6) AS p16,
         |  round(CASE WHEN count(value) >= 50 THEN quantile_cont(value, 0.84) END, 6) AS p84
         |FROM events GROUP BY event_type""".stripMargin,
+    "q41_repetition" ->
+      // independent recomputation: list ops over the token array (the
+      // Spark side is a single hash-map pass; only the RESULTS must match)
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(tk) END AS n,
+        |    tk,
+        |    list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS bg
+        |  FROM toks),
+        |agg AS (
+        |  SELECT doc_id, n,
+        |    len(list_distinct(tk)) AS ndist,
+        |    CASE WHEN n < 2 THEN 0 ELSE len(list_distinct(bg)) END AS nbig,
+        |    CASE WHEN n = 0 THEN 0 ELSE
+        |      list_max(list_transform(list_distinct(tk),
+        |        w -> len(list_filter(tk, t -> t = w)))) END AS topw,
+        |    CASE WHEN n < 2 THEN 0 ELSE
+        |      list_max(list_transform(list_distinct(bg),
+        |        w -> len(list_filter(bg, t -> t = w)))) END AS topb
+        |  FROM base)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+        |  round(CASE WHEN n = 0 THEN 0.0 ELSE ndist * 1.0 / n END, 6) AS distinct_word_frac,
+        |  round(CASE WHEN n < 2 THEN 0.0 ELSE 1.0 - nbig * 1.0 / (n - 1) END, 6) AS dup_2gram_frac,
+        |  round(CASE WHEN n = 0 THEN 0.0 ELSE topw * 1.0 / n END, 6) AS top_word_frac,
+        |  round(CASE WHEN n < 2 THEN 0.0 ELSE topb * 1.0 / (n - 1) END, 6) AS top_2gram_frac
+        |FROM agg""".stripMargin,
     "q40_injection_sweep" ->
       // mirrors Injection.depthSweep exactly: same LCG picks (31-bit safe
       // arithmetic), same median stack, same p16/p84 envelope

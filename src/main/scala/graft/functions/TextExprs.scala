@@ -113,6 +113,27 @@ case class ExtractTextExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** repetition_stats(text) → array<double>
+  * [n_words, distinct_word_frac, dup_2gram_frac, top_word_frac,
+  * top_2gram_frac] — the Gopher/C4 repetition quality metrics in ONE
+  * codegen'd pass (no HOFs, no per-metric rescans of the token array).
+  */
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "repetition_stats"
+  override protected def nullSafeEval(s: Any): Any =
+    RepetitionKernel.stats(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.RepetitionKernel.stats($s)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Standalone kernel object (not a companion — see WordNgramsKernel note). */
+object RepetitionKernel {
+  def stats(s: UTF8String): GenericArrayData =
+    new GenericArrayData(graft.core.TextStats.repetition(s.toString))
+}
+
 /** jaccard_shingles(a, b, n) → double: exact word-n-gram Jaccard. */
 case class JaccardShinglesExpr(left: Expression, right: Expression, n: Int)
     extends BinaryExpression {
@@ -139,6 +160,7 @@ object text {
     column(MinHashBandsExpr(expression(c), k, bands, shingle))
   def extract_text(c: Column): Column = column(ExtractTextExpr(expression(c)))
   def word_ngrams(c: Column, n: Int): Column = column(WordNgramsExpr(expression(c), n))
+  def repetition_stats(c: Column): Column = column(RepetitionStatsExpr(expression(c)))
   def jaccard_shingles(a: Column, b: Column, n: Int): Column =
     column(JaccardShinglesExpr(expression(a), expression(b), n))
 }

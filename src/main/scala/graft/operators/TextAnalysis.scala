@@ -90,4 +90,23 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     graft.functions.text.fingerprint64(text)
+
+  /** Gopher/C4-family repetition quality metrics (Rae et al. 2021 §A1.1,
+    * Raffel et al. 2020): duplicate-bigram fraction and most-common
+    * token/bigram share — the standard "remove boilerplate/spam by
+    * repetition" filters of webtext training pipelines. One codegen'd
+    * pass per document (repetition_stats expression); ratios rounded to
+    * 6 so the DuckDB oracle's independent list-based recomputation
+    * matches exactly.
+    */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, textCol: String,
+                      idCol: String): org.apache.spark.sql.DataFrame = {
+    val r = graft.functions.text.repetition_stats(col(textCol))
+    df.select(col(idCol),
+        r.getItem(0).cast("long").as("n_words"),
+        round(r.getItem(1), 6).as("distinct_word_frac"),
+        round(r.getItem(2), 6).as("dup_2gram_frac"),
+        round(r.getItem(3), 6).as("top_word_frac"),
+        round(r.getItem(4), 6).as("top_2gram_frac"))
+  }
 }

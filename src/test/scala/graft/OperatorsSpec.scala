@@ -155,3 +155,35 @@ class AsofJoinSpec extends AnyFunSuite {
     }
   }
 }
+
+class RepetitionSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("repetition metrics: hand-computed values, empty and degenerate inputs") {
+    // "a b a b a": n=5, distinct {a,b}=2, bigrams [a b, b a, a b, b a]
+    // distinct 2 of 4 -> dup 0.5; top word a=3/5; top bigram 2/4
+    val r = graft.core.TextStats.repetition("a b a b a")
+    assert(r.toSeq === Seq(5.0, 0.4, 0.5, 0.6, 0.5))
+    assert(graft.core.TextStats.repetition("").toSeq === Seq(0.0, 0.0, 0.0, 0.0, 0.0))
+    assert(graft.core.TextStats.repetition("  \t ").toSeq === Seq(0.0, 0.0, 0.0, 0.0, 0.0))
+    // single word: no bigrams -> bigram metrics 0
+    assert(graft.core.TextStats.repetition("word").toSeq === Seq(1.0, 1.0, 0.0, 1.0, 0.0))
+    // pure spam: "x x x x" -> dup_2gram 1 - 1/3, top word 1.0
+    val spam = graft.core.TextStats.repetition("x x x x")
+    assert(spam(3) === 1.0 && spam(4) === 1.0)
+    assert(math.abs(spam(2) - (1.0 - 1.0 / 3.0)) < 1e-12)
+  }
+
+  test("repetition_stats expression stays codegen'd over the documents scan") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = graft.operators.TextAnalysis.repetitionStats(docs, "text", "doc_id")
+    assert(out.count() === docs.count())
+    // the plan must be a single WholeStageCodegen project over the scan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project")) // whole-stage-codegen marker
+    assert(!plan.contains("Exchange"))
+    // filters compose: a quality gate over the metrics stays pushable math
+    val spammy = out.filter(col("dup_2gram_frac") > 0.5)
+    assert(spammy.count() >= 0)
+  }
+}
