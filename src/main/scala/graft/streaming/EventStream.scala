@@ -24,6 +24,30 @@ object EventStream {
         col("n_events"), col("sum_value"))
   }
 
+  /** The flagship geo pipeline over a PAGE stream: geoparse (codegen'd
+    * expression — works unchanged on streaming plans) → tile assign →
+    * watermarked tumbling-window counts per tile. One definition, two run
+    * modes: the batch run is the q11-family tile count bucketed by time;
+    * the streaming run is the live-ingest variant (TilerStreamSpec asserts
+    * batch/stream parity through a MemoryStream).
+    */
+  def tileCounts(pages: DataFrame, zoom: Int = 8,
+                 windowLen: String = "1 hour",
+                 watermark: String = "2 hours"): DataFrame = {
+    import graft.functions.{geo, geoparse}
+    val withTs =
+      if (pages.isStreaming) pages.withWatermark("warc_ts", watermark)
+      else pages
+    withTs
+      .select(col("warc_ts"),
+        explode(geoparse.geoparse_mentions(col("text"))).as("m"))
+      .select(col("warc_ts"),
+        geo.tile_id(col("m.lon"), col("m.lat"), lit(zoom)).as("tile_id"))
+      .groupBy(window(col("warc_ts"), windowLen).as("w"), col("tile_id"))
+      .agg(count(lit(1)).as("n_mentions"))
+      .select(col("w.start").as("win_start"), col("tile_id"), col("n_mentions"))
+  }
+
   final case class SessionUpdate(user_id: Long, n_events: Long,
                                  first_us: Long, last_us: Long, closed: Boolean)
 

@@ -144,3 +144,32 @@ class EventStreamSpec extends AnyFunSuite {
     assert(out(2L).n_events === 1)
   }
 }
+
+class TilerStreamSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("streaming tile counts equal the batch result over the same pages") {
+    import spark.implicits._
+    val pages = graft.sources.SynthPages.pagesDF(spark, 400)
+    val expected = graft.streaming.EventStream.tileCounts(pages)
+      .collect().map(_.toString).sorted.toSeq
+    assert(expected.nonEmpty) // synthetic pages must yield geo mentions
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (String, java.sql.Timestamp, String)]
+    val streamDf = input.toDF().toDF("url", "warc_ts", "text")
+    val q = graft.streaming.EventStream.tileCounts(streamDf)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tilestream").start()
+    val rows = pages.select(col("url"), col("warc_ts"), col("text"))
+      .as[(String, java.sql.Timestamp, String)].collect()
+    // two micro-batches: parity must hold across incremental ingest
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    input.addData(b1.toSeq); q.processAllAvailable()
+    input.addData(b2.toSeq); q.processAllAvailable()
+    val got = spark.table("tilestream").collect().map(_.toString).sorted.toSeq
+    q.stop()
+    assert(got === expected)
+  }
+}
