@@ -110,7 +110,8 @@ object Bench {
       "q24_minhash_pairs", "q26_ngram_jaccard", "q27_ann_topk",
       "q28_embedding_pairs", "q29_ivf_topk", "q30_asof_nearest",
       "q31_window_agg", "q36_gauss_fit", "q37_huber_fit",
-      "q40_injection_sweep", "q41_repetition", "q51_multimodal")
+      "q40_injection_sweep", "q41_repetition", "q42_dedup_clusters",
+      "q51_multimodal")
     val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") == "1"
     val results = if (!doQueries) Seq.empty else headline.map { name =>
       val fn = SparkEntry.queries(name)

@@ -279,6 +279,20 @@ object SparkEntry {
         Seq("event_type"), col("value"), binWidth = 2.0, shrink = 2,
         minPerBin = 20, minFracFine = 0.3, minFracCoarse = 0.2, minBins = 5)
     }),
+    // ---- dedup clusters: connected components over a pair list.
+    //      Edge list derived from doc_ids by pure integer math (stars of
+    //      7 bridged in pairs) so DuckDB re-derives the clustering via a
+    //      recursive-CTE transitive closure; production feeds the LSH
+    //      pair outputs (q24/q25/q28) into the same operator ----
+    "q42_dedup_clusters" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val star = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .select(col("doc_id").as("id_a"),
+          (col("doc_id") - pmod(col("doc_id"), lit(7))).as("id_b"))
+      val bridge = d.filter(pmod(col("doc_id"), lit(14)) === 0 && col("doc_id") >= 7)
+        .select(col("doc_id").as("id_a"), (col("doc_id") - 7).as("id_b"))
+      graft.operators.Dedup.connectedComponents(star.unionByName(bridge))
+    }),
     // ---- Gopher/C4 repetition quality metrics (one codegen'd pass) ----
     "q41_repetition" -> ((s, dir) => {
       graft.operators.TextAnalysis.repetitionStats(
@@ -650,6 +664,22 @@ object SparkEntry {
         |  round(CASE WHEN count(value) >= 50 THEN quantile_cont(value, 0.16) END, 6) AS p16,
         |  round(CASE WHEN count(value) >= 50 THEN quantile_cont(value, 0.84) END, 6) AS p84
         |FROM events GROUP BY event_type""".stripMargin,
+    "q42_dedup_clusters" ->
+      // independent recomputation: recursive-CTE transitive closure +
+      // min reachable label (no label propagation, no supersteps)
+      """WITH RECURSIVE
+        |e0 AS (
+        |  SELECT doc_id AS src, doc_id - (doc_id % 7) AS dst
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id AS src, doc_id - 7 AS dst
+        |  FROM documents WHERE doc_id % 14 = 0 AND doc_id >= 7),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+        |reach(id, lbl) AS (
+        |  SELECT src AS id, src AS lbl FROM e
+        |  UNION
+        |  SELECT e.src AS id, r.lbl FROM e JOIN reach r ON e.dst = r.id)
+        |SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id""".stripMargin,
     "q41_repetition" ->
       // independent recomputation: list ops over the token array (the
       // Spark side is a single hash-map pass; only the RESULTS must match)

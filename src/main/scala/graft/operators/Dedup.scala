@@ -174,4 +174,48 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
   }
+
+  /** Connected components over a near-dup pair list — the step between
+    * pair detection and "keep one canonical doc per duplicate family".
+    * Min-label propagation in driver-coordinated supersteps (the standard
+    * Pregel shape; each superstep is ONE shuffle join + min-agg, lineage
+    * truncated per step). Converges in graph-diameter steps — near-dup
+    * families are near-cliques (diameter 2-3), so 3-4 supersteps in
+    * practice; `maxIter` bounds pathological chains. For planet-scale
+    * high-diameter graphs the alternating large-star/small-star variant
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    * halves diameter per round; not needed for dedup topology.
+    *
+    * Returns (id, cluster_id = min reachable id). Vertices not present in
+    * `pairs` are singletons by definition — left-join the id universe and
+    * coalesce(cluster_id, id) to include them.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).cast("long").as("src"),
+      col(idB).cast("long").as("dst"))
+    val sym = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct().cache()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val msgs = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("lbl"))
+      val next = labels.unionByName(msgs)
+        .groupBy("id").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0L
+      i += 1
+    }
+    sym.unpersist()
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
 }

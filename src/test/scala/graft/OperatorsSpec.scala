@@ -187,3 +187,42 @@ class RepetitionSpec extends AnyFunSuite {
     assert(spammy.count() >= 0)
   }
 }
+
+class ConnectedComponentsSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  private def ufClusters(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("chain graph (worst-case diameter) converges to one cluster") {
+    import spark.implicits._
+    val pairs = (1L until 12L).map(i => (i - 1, i)).toDF("id_a", "id_b")
+    val cc = graft.operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size === 12)
+    assert(cc.values.toSet === Set(0L))
+  }
+
+  test("clusters over real minhash pairs match driver union-find") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pairs = graft.operators.Dedup.minhashPairs(
+      docs, "text", "doc_id", threshold = 0.5)
+    val local = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assume(local.nonEmpty) // sf0.001 generator includes near-dups
+    val expected = ufClusters(local)
+    val got = graft.operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+}
