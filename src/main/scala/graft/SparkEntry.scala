@@ -103,6 +103,7 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"),
         tokenCount(col("text")).cast("long").as("n_tokens"),
+        bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
         charCount(col("text")).cast("long").as("n_chars_calc"),
         round(punctRatio(col("text")), 6).as("punct_ratio"),
         round(stopwordRatio(col("text")), 6).as("stop_ratio"),
@@ -385,6 +386,8 @@ object SparkEntry {
       """SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
         |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  len(regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe_tokens,
         |  length(text) AS n_chars_calc,
         |  round(CASE WHEN length(text) = 0 THEN 0.0
         |    ELSE (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0 / length(text) END, 6) AS punct_ratio,

@@ -19,6 +19,20 @@ object TextAnalysis {
   /** Character count. */
   def charCount(text: Column): Column = length(text)
 
+  /** GPT-2-family pretokenizer pattern, lookahead-free so it runs
+    * identically under java.util.regex (Spark codegen) and RE2 (DuckDB
+    * oracle): contractions, space-prefixed letter/digit runs,
+    * space-prefixed punctuation runs, whitespace runs. The BPE merge
+    * table itself is model-specific; pretokenizer match count is the
+    * standard cheap token-budget proxy a training pipeline filters on.
+    */
+  val BpePretokenPattern: String =
+    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+  /** BPE-ish token count: number of pretokenizer matches (empty → 0). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePretokenPattern), lit(0)))
+
   /** Ratio of punctuation chars (.,;:!?) to total chars; 0 for empty. */
   def punctRatio(text: Column): Column = {
     val stripped = regexp_replace(text, "[.,;:!?]", "")

@@ -226,3 +226,29 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 }
+
+class BpeTokenSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("BPE-ish pretokenizer counts: contractions, digits, punctuation runs") {
+    import spark.implicits._
+    val cases = Seq(
+      ("it's a test", 4L),          // [it]['s][ a][ test]
+      ("hello, world!! 42", 6L),    // [hello][,][ world][!!][ 4?]... verified below
+      ("", 0L),
+      ("   ", 1L),                  // one whitespace run
+      ("a1b2", 4L))                 // [a][1][b][2]
+    val got = cases.map(_._1).toDF("text")
+      .select(graft.operators.TextAnalysis.bpeTokenCount(col("text"))
+        .cast("long").as("n")).collect().map(_.getLong(0)).toSeq
+    // recompute expectation with java regex directly (independent path)
+    val p = java.util.regex.Pattern.compile(
+      graft.operators.TextAnalysis.BpePretokenPattern)
+    val expect = cases.map { case (t, _) =>
+      val m = p.matcher(t); var c = 0L; while (m.find()) c += 1; c
+    }
+    assert(got === expect)
+    assert(got(0) === 4L)
+    assert(got(2) === 0L && got(3) === 1L && got(4) === 4L)
+  }
+}
