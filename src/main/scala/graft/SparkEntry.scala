@@ -280,6 +280,19 @@ object SparkEntry {
         Seq("event_type"), col("value"), binWidth = 2.0, shrink = 2,
         minPerBin = 20, minFracFine = 0.3, minFracCoarse = 0.2, minBins = 5)
     }),
+    // ---- deterministic sampling: per-language stratified rates, then a
+    //      5-doc deterministic reservoir per source. Coin flips derive
+    //      from row content (portable LCG) so the sample is identical at
+    //      any parallelism AND re-derivable by the DuckDB oracle ----
+    "q43_sampling" -> ((s, dir) => {
+      import graft.operators.Sampling
+      val d = t(s, dir, "documents")
+      val u = Sampling.portableUniform(col("doc_id"))
+      val strat = Sampling.stratifiedSample(d, col("lang"), u,
+        rates = Map("en" -> 0.5), defaultRate = 0.9)
+      Sampling.reservoirPerKey(strat, col("source"), u, col("doc_id"), n = 5)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
     // ---- dedup clusters: connected components over a pair list.
     //      Edge list derived from doc_ids by pure integer math (stars of
     //      7 bridged in pairs) so DuckDB re-derives the clustering via a
@@ -667,6 +680,21 @@ object SparkEntry {
         |  round(CASE WHEN count(value) >= 50 THEN quantile_cont(value, 0.16) END, 6) AS p16,
         |  round(CASE WHEN count(value) >= 50 THEN quantile_cont(value, 0.84) END, 6) AS p84
         |FROM events GROUP BY event_type""".stripMargin,
+    "q43_sampling" ->
+      // same portable LCG coin flips, recomputed independently
+      """WITH u AS (
+        |  SELECT doc_id, lang, source,
+        |    (((1103515245 * (doc_id % 2147483647) + 12345) % 2147483647) * 1.0)
+        |      / 2147483647.0 AS u
+        |  FROM documents),
+        |strat AS (
+        |  SELECT * FROM u
+        |  WHERE u < CASE WHEN lang = 'en' THEN 0.5 ELSE 0.9 END),
+        |ranked AS (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY u ASC, doc_id ASC) AS rn
+        |  FROM strat)
+        |SELECT doc_id, lang, source FROM ranked WHERE rn <= 5""".stripMargin,
     "q42_dedup_clusters" ->
       // independent recomputation: recursive-CTE transitive closure +
       // min reachable label (no label propagation, no supersteps)

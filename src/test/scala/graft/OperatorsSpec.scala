@@ -252,3 +252,42 @@ class BpeTokenSpec extends AnyFunSuite {
     assert(got(2) === 0L && got(3) === 1L && got(4) === 4L)
   }
 }
+
+class SamplingSpec extends AnyFunSuite {
+  import SharedSpark._
+  import graft.operators.Sampling
+
+  test("hash sample is partitioning-invariant and rate-accurate") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def ids(parts: Int): Seq[Long] =
+      Sampling.hashSample(docs.repartition(parts),
+        Sampling.hashUniform(7L, col("doc_id")), 0.3)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val a = ids(1)
+    assert(a === ids(5))
+    val n = docs.count().toDouble
+    assert(math.abs(a.length / n - 0.3) < 0.1) // 500 rows: loose CI
+    // pure filter: no exchange in the plan
+    val plan = Sampling.hashSample(docs,
+      Sampling.hashUniform(7L, col("doc_id")), 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("stratified rates apply per stratum; reservoir returns exactly n per key") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val u = Sampling.portableUniform(col("doc_id"))
+    val strat = Sampling.stratifiedSample(docs, col("lang"), u,
+      Map("en" -> 0.0), defaultRate = 1.0)
+    assert(strat.filter(col("lang") === "en").count() === 0)
+    assert(strat.count() === docs.filter(col("lang") =!= "en").count())
+    val res = Sampling.reservoirPerKey(docs, col("source"), u, col("doc_id"), 3)
+    val perKey = res.groupBy("source").count().collect().map(_.getLong(1))
+    assert(perKey.forall(_ === 3L))
+    // deterministic: same 3 docs at any partitioning
+    val r1 = res.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val r2 = Sampling.reservoirPerKey(docs.repartition(7), col("source"), u,
+      col("doc_id"), 3).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(r1 === r2)
+  }
+}
