@@ -280,6 +280,20 @@ object SparkEntry {
         Seq("event_type"), col("value"), binWidth = 2.0, shrink = 2,
         minPerBin = 20, minFracFine = 0.3, minFracCoarse = 0.2, minBins = 5)
     }),
+    // ---- geodesic nearest-reference assignment (zero-shuffle map; the
+    //      reference table rides the serialized plan like nearest_centroid;
+    //      haversine formula mirrored 1:1 in the oracle SQL) ----
+    "q44_nearest_city" -> ((s, dir) => {
+      import graft.functions.geodesic
+      val refs = knnQueryPoints.map { case (i, lo, la) =>
+        Array(i.toDouble, lo, la) }.toArray
+      val nr = geodesic.nearest_ref(col("lon"), col("lat"), refs)
+      derivedPoints(s, dir)
+        .withColumn("__nr", nr)
+        .select(col("doc_id"),
+          col("__nr").getItem(0).cast("long").as("city_id"),
+          round(col("__nr").getItem(1), 2).as("dist_m"))
+    }),
     // ---- deterministic sampling: per-language stratified rates, then a
     //      5-doc deterministic reservoir per source. Coin flips derive
     //      from row content (portable LCG) so the sample is identical at
@@ -680,6 +694,26 @@ object SparkEntry {
         |  round(CASE WHEN count(value) >= 50 THEN quantile_cont(value, 0.16) END, 6) AS p16,
         |  round(CASE WHEN count(value) >= 50 THEN quantile_cont(value, 0.84) END, 6) AS p84
         |FROM events GROUP BY event_type""".stripMargin,
+    "q44_nearest_city" ->
+      // same haversine text: radians inline, sin half-angles squared,
+      // asin(sqrt(h)), R = 6371008.8
+      s"""WITH pts AS ($derivedPointsSql),
+         |cities AS (SELECT * FROM (VALUES $knnQueryValuesSql) AS t(city_id, c_lon, c_lat)),
+         |d AS (
+         |  SELECT pts.doc_id, cities.city_id,
+         |    2.0 * 6371008.8 * asin(sqrt(
+         |      sin((cities.c_lat - pts.lat) * pi() / 180.0 / 2.0)
+         |        * sin((cities.c_lat - pts.lat) * pi() / 180.0 / 2.0)
+         |      + cos(pts.lat * pi() / 180.0) * cos(cities.c_lat * pi() / 180.0)
+         |        * sin((cities.c_lon - pts.lon) * pi() / 180.0 / 2.0)
+         |        * sin((cities.c_lon - pts.lon) * pi() / 180.0 / 2.0))) AS dist_m
+         |  FROM pts CROSS JOIN cities),
+         |r AS (SELECT doc_id, city_id, dist_m,
+         |        row_number() OVER (PARTITION BY doc_id
+         |          ORDER BY dist_m ASC, city_id ASC) AS rn FROM d)
+         |SELECT doc_id, CAST(city_id AS BIGINT) AS city_id,
+         |  round(dist_m, 2) AS dist_m
+         |FROM r WHERE rn = 1""".stripMargin,
     "q43_sampling" ->
       // same portable LCG coin flips, recomputed independently
       """WITH u AS (

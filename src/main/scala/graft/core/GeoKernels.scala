@@ -50,4 +50,41 @@ object GeoKernels {
       math.cos(p1) * math.cos(p2) * math.sin(dl / 2) * math.sin(dl / 2)
     2 * R * math.asin(math.min(1.0, math.sqrt(a)))
   }
+
+  /** Mean Earth radius (IUGG), meters. */
+  val EarthRadiusM: Double = 6371008.8
+
+  /** Great-circle distance in METERS, with the operation order mirrored
+    * 1:1 in the DuckDB oracle SQL (SparkEntry q44: explicit `* π / 180`,
+    * sin half-angles squared, asin(sqrt(h)), R = 6371008.8) — same
+    * float sequence both engines, so round(…,2) meters compare exactly.
+    * (haversineKm above is the looser reporting variant; this one is the
+    * oracle-parity metric.)
+    */
+  def haversineM(lon1: Double, lat1: Double,
+                 lon2: Double, lat2: Double): Double = {
+    val sLat = Math.sin((lat2 - lat1) * Math.PI / 180.0 / 2.0)
+    val sLon = Math.sin((lon2 - lon1) * Math.PI / 180.0 / 2.0)
+    val h = sLat * sLat +
+      Math.cos(lat1 * Math.PI / 180.0) * Math.cos(lat2 * Math.PI / 180.0) *
+        sLon * sLon
+    2.0 * EarthRadiusM * Math.asin(Math.sqrt(h))
+  }
+
+  /** Nearest reference point by geodesic distance: refs rows are
+    * [id, lon, lat]; returns [id, dist_m]. Ties break to the lowest id
+    * (refs are scanned in id order; strict `<` keeps the first minimum).
+    */
+  def nearestRef(lon: Double, lat: Double,
+                 refs: Array[Array[Double]]): Array[Double] = {
+    var bestId = -1.0
+    var bestD = Double.PositiveInfinity
+    var i = 0
+    while (i < refs.length) {
+      val d = haversineM(lon, lat, refs(i)(1), refs(i)(2))
+      if (d < bestD) { bestD = d; bestId = refs(i)(0) }
+      i += 1
+    }
+    Array(bestId, bestD)
+  }
 }

@@ -173,3 +173,41 @@ class TilerStreamSpec extends AnyFunSuite {
     assert(got === expected)
   }
 }
+
+class GeodesicSpec extends AnyFunSuite {
+  import SharedSpark._
+  import graft.core.GeoKernels
+
+  test("haversineM: known distances and symmetry") {
+    // London (-0.1276, 51.5072) <-> Paris (2.3522, 48.8566): ~343.5 km
+    val lp = GeoKernels.haversineM(-0.1276, 51.5072, 2.3522, 48.8566)
+    assert(math.abs(lp - 343.5e3) < 1.5e3, s"london-paris $lp")
+    assert(GeoKernels.haversineM(10, 20, 10, 20) === 0.0)
+    assert(GeoKernels.haversineM(-0.1276, 51.5072, 2.3522, 48.8566) ===
+      GeoKernels.haversineM(2.3522, 48.8566, -0.1276, 51.5072))
+    // antipodal ~ half circumference
+    val anti = GeoKernels.haversineM(0, 0, 180, 0)
+    assert(math.abs(anti - math.Pi * GeoKernels.EarthRadiusM) < 1.0)
+  }
+
+  test("nearest_ref expression: argmin parity with brute force, zero-shuffle plan") {
+    import spark.implicits._
+    val refs = Array(Array(0.0, -0.1276, 51.5072), Array(1.0, 2.3522, 48.8566),
+      Array(2.0, -74.006, 40.7128), Array(3.0, 139.6917, 35.6895))
+    val pts = (0 until 500).map { i =>
+      (i.toLong, graft.core.Rng.uniform(9L, i, 1L) * 360 - 180,
+        graft.core.Rng.uniform(9L, i, 2L) * 170 - 85)
+    }
+    val df = pts.toDF("id", "lon", "lat")
+      .withColumn("nr", graft.functions.geodesic.nearest_ref(col("lon"), col("lat"), refs))
+      .select(col("id"), col("nr").getItem(0).cast("long").as("ref_id"),
+        col("nr").getItem(1).as("dist_m"))
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+    val got = df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    pts.foreach { case (id, lon, lat) =>
+      val expect = refs.map(r => (r(0).toLong,
+        GeoKernels.haversineM(lon, lat, r(1), r(2)))).minBy(t => (t._2, t._1))
+      assert(got(id) === expect, s"pt $id")
+    }
+  }
+}
