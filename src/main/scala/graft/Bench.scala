@@ -111,7 +111,7 @@ object Bench {
       "q28_embedding_pairs", "q29_ivf_topk", "q30_asof_nearest",
       "q31_window_agg", "q36_gauss_fit", "q37_huber_fit",
       "q40_injection_sweep", "q41_repetition", "q42_dedup_clusters",
-      "q51_multimodal")
+      "q44_nearest_city", "q45_range_join", "q51_multimodal")
     val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") == "1"
     val results = if (!doQueries) Seq.empty else headline.map { name =>
       val fn = SparkEntry.queries(name)

@@ -280,6 +280,24 @@ object SparkEntry {
         Seq("event_type"), col("value"), binWidth = 2.0, shrink = 2,
         minPerBin = 20, minFracFine = 0.3, minFracCoarse = 0.2, minBins = 5)
     }),
+    // ---- bucketed range join: errors inside ±5-minute purchase windows
+    //      (equi-join on time buckets instead of the O(N·M) BETWEEN
+    //      nested loop; exact containment filter kept) ----
+    "q45_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("us"))
+      graft.operators.RangeJoin.pointInInterval(
+        errors, col("event_id"), col("us"),
+        purchases, col("event_id"),
+        col("us") - 300000000L, col("us") + 300000000L,
+        bucketWidth = 600000000L)
+        .select(col("interval_id").as("purchase_id"),
+          col("point_id").as("error_id"),
+          (col("t") - (col("lo") + 300000000L)).as("lag_us"))
+    }),
     // ---- geodesic nearest-reference assignment (zero-shuffle map; the
     //      reference table rides the serialized plan like nearest_centroid;
     //      haversine formula mirrored 1:1 in the oracle SQL) ----
@@ -694,6 +712,16 @@ object SparkEntry {
         |  round(CASE WHEN count(value) >= 50 THEN quantile_cont(value, 0.16) END, 6) AS p16,
         |  round(CASE WHEN count(value) >= 50 THEN quantile_cont(value, 0.84) END, 6) AS p84
         |FROM events GROUP BY event_type""".stripMargin,
+    "q45_range_join" ->
+      // independent recomputation: the naive BETWEEN join (exact spec)
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events
+        |           WHERE event_type = 'error'),
+        |p AS (SELECT event_id, epoch_us(ts) AS us FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id AS purchase_id, e.event_id AS error_id,
+        |  e.us - p.us AS lag_us
+        |FROM p JOIN e
+        |  ON e.us >= p.us - 300000000 AND e.us <= p.us + 300000000""".stripMargin,
     "q44_nearest_city" ->
       // same haversine text: radians inline, sin half-angles squared,
       // asin(sqrt(h)), R = 6371008.8

@@ -291,3 +291,39 @@ class SamplingSpec extends AnyFunSuite {
     assert(r1 === r2)
   }
 }
+
+class RangeJoinSpec extends AnyFunSuite {
+  import SharedSpark._
+  import graft.operators.RangeJoin
+
+  test("bucketed range join matches the naive BETWEEN join exactly") {
+    import spark.implicits._
+    val pts = (0 until 3000).map(i =>
+      (i.toLong, (graft.core.Rng.uniform(3L, i, 1L) * 1e6).toLong))
+    val ivs = (0 until 400).map { i =>
+      val lo = (graft.core.Rng.uniform(4L, i, 1L) * 1e6).toLong
+      (i.toLong, lo, lo + 1000 + (graft.core.Rng.uniform(4L, i, 2L) * 30000).toLong)
+    }
+    val got = RangeJoin.pointInInterval(
+        pts.toDF("id", "t"), col("id"), col("t"),
+        ivs.toDF("id", "lo", "hi"), col("id"), col("lo"), col("hi"),
+        bucketWidth = 16384)
+      .select("interval_id", "point_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = (for {
+      (iid, lo, hi) <- ivs; (pid, t) <- pts if t >= lo && t <= hi
+    } yield (iid, pid)).toSet
+    assert(naive.nonEmpty && got === naive)
+  }
+
+  test("the plan is a hash join on buckets, not a nested loop") {
+    import spark.implicits._
+    val pts = Seq((1L, 10L)).toDF("id", "t")
+    val ivs = Seq((1L, 5L, 15L)).toDF("id", "lo", "hi")
+    val plan = RangeJoin.pointInInterval(pts, col("id"), col("t"),
+      ivs, col("id"), col("lo"), col("hi"), bucketWidth = 100)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan)
+    assert(plan.contains("HashJoin"), plan)
+  }
+}
