@@ -280,6 +280,45 @@ object SparkEntry {
         Seq("event_type"), col("value"), binWidth = 2.0, shrink = 2,
         minPerBin = 20, minFracFine = 0.3, minFracCoarse = 0.2, minBins = 5)
     }),
+    // ---- PII scrubbing (C4 step): counts + redaction. The corpus has
+    //      no PII, so it is injected deterministically in-query (SQL-
+    //      replicable) — detect-and-redact is then oracle-checkable ----
+    "q46_pii_redact" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      val withPii = t(s, dir, "documents").withColumn("text2",
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com now")))
+          .when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" call +1 (555) 010-23"),
+              lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0")))
+          .otherwise(col("text")))
+      withPii.select(col("doc_id"),
+        TextAnalysis.emailCount(col("text2")).cast("long").as("n_emails"),
+        TextAnalysis.phoneCount(col("text2")).cast("long").as("n_phones"),
+        TextAnalysis.redactPii(col("text2")).as("redacted"))
+    }),
+    // ---- dedup end-to-end: cluster (q42 edge rule), keep the longest
+    //      doc per family (the standard C4 keep policy) ----
+    "q47_dedup_keep" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val star = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .select(col("doc_id").as("id_a"),
+          (col("doc_id") - pmod(col("doc_id"), lit(7))).as("id_b"))
+      val bridge = d.filter(pmod(col("doc_id"), lit(14)) === 0 && col("doc_id") >= 7)
+        .select(col("doc_id").as("id_a"), (col("doc_id") - 7).as("id_b"))
+      val clusters = graft.operators.Dedup.connectedComponents(
+        star.unionByName(bridge))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id")
+        .orderBy(col("n_chars").desc, col("id").asc)
+      clusters.join(d.select(col("doc_id").as("id"), col("n_chars")), "id")
+        .withColumn("rn", row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(min(when(col("rn") === 1, col("id"))).as("keep_id"),
+          count(lit(1)).as("n_docs"),
+          max(col("n_chars")).cast("long").as("max_chars"))
+    }),
     // ---- bucketed range join: errors inside ±5-minute purchase windows
     //      (equi-join on time buckets instead of the O(N·M) BETWEEN
     //      nested loop; exact containment filter kept) ----
@@ -712,6 +751,45 @@ object SparkEntry {
         |  round(CASE WHEN count(value) >= 50 THEN quantile_cont(value, 0.16) END, 6) AS p16,
         |  round(CASE WHEN count(value) >= 50 THEN quantile_cont(value, 0.84) END, 6) AS p84
         |FROM events GROUP BY event_type""".stripMargin,
+    "q46_pii_redact" ->
+      // same injection rule + same RE2-compatible patterns
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN
+        |           text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+        |         WHEN doc_id % 7 = 0 THEN
+        |           text || ' call +1 (555) 010-23' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+        |         ELSE text END AS text2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text2, '\+?\d[\d\s().-]{7,}\d')) AS n_phones,
+        |  regexp_replace(
+        |    regexp_replace(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS redacted
+        |FROM w""".stripMargin,
+    "q47_dedup_keep" ->
+      // clusters re-derived by recursive CTE; keep-longest re-ranked in SQL
+      """WITH RECURSIVE
+        |e0 AS (
+        |  SELECT doc_id AS src, doc_id - (doc_id % 7) AS dst
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id AS src, doc_id - 7 AS dst
+        |  FROM documents WHERE doc_id % 14 = 0 AND doc_id >= 7),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+        |reach(id, lbl) AS (
+        |  SELECT src AS id, src AS lbl FROM e
+        |  UNION
+        |  SELECT e.src AS id, r.lbl FROM e JOIN reach r ON e.dst = r.id),
+        |cl AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+        |j AS (SELECT cl.cluster_id, cl.id, d.n_chars,
+        |        row_number() OVER (PARTITION BY cl.cluster_id
+        |          ORDER BY d.n_chars DESC, cl.id ASC) AS rn
+        |      FROM cl JOIN documents d ON d.doc_id = cl.id)
+        |SELECT cluster_id, min(CASE WHEN rn = 1 THEN id END) AS keep_id,
+        |  count(*) AS n_docs, CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM j GROUP BY cluster_id""".stripMargin,
     "q45_range_join" ->
       // independent recomputation: the naive BETWEEN join (exact spec)
       """WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events

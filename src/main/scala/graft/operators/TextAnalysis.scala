@@ -105,6 +105,25 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     graft.functions.text.fingerprint64(text)
 
+  /** PII patterns (C4-family scrubbing step). Lookaround-free so
+    * java.util.regex (Spark) and RE2 (DuckDB oracle) match identically.
+    */
+  val EmailPattern: String = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val PhonePattern: String = """\+?\d[\d\s().-]{7,}\d"""
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PhonePattern), lit(0)))
+
+  /** Redact emails then phones (emails first: their digits must not be
+    * re-matched as phone fragments — the replacement token has none).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
   /** Gopher/C4-family repetition quality metrics (Rae et al. 2021 §A1.1,
     * Raffel et al. 2020): duplicate-bigram fraction and most-common
     * token/bigram share — the standard "remove boilerplate/spam by

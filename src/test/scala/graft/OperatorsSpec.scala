@@ -327,3 +327,31 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(plan.contains("HashJoin"), plan)
   }
 }
+
+class PiiSpec extends AnyFunSuite {
+  import SharedSpark._
+  import graft.operators.TextAnalysis
+
+  test("email/phone detection and redaction on realistic strings") {
+    import spark.implicits._
+    val rows = Seq(
+      ("reach me at jane.doe+spam@sub.example.co.uk or call +1 (415) 555-0134 today", 1, 1),
+      ("no pii here at all", 0, 0),
+      ("two mails a@b.io c.d@e.org and digits 12345 (too short for a phone)", 2, 0),
+      ("tel: 020 7946 0958", 0, 1))
+    val df = rows.map(_._1).toDF("text").select(
+      col("text"),
+      TextAnalysis.emailCount(col("text")).as("ne"),
+      TextAnalysis.phoneCount(col("text")).as("np"),
+      TextAnalysis.redactPii(col("text")).as("red"))
+    val got = df.collect()
+    rows.zip(got).foreach { case ((t, ne, np), r) =>
+      assert(r.getInt(1) === ne, s"emails in '$t'")
+      assert(r.getInt(2) === np, s"phones in '$t'")
+    }
+    val red0 = got(0).getString(3)
+    assert(red0.contains("<EMAIL>") && red0.contains("<PHONE>"))
+    assert(!red0.contains("@") && !red0.contains("555"))
+    assert(got(1).getString(3) === "no pii here at all")
+  }
+}
