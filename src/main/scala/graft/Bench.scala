@@ -113,14 +113,20 @@ object Bench {
       "q40_injection_sweep", "q41_repetition", "q42_dedup_clusters",
       "q44_nearest_city", "q45_range_join", "q51_multimodal")
     val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") == "1"
+    // per-query shuffle-write MB: the plan-quality evidence (a payload
+    // riding a fan-out is visible here regardless of wall clock)
+    val qListener = new graft.plans.TaskTimeListener
+    spark.sparkContext.addSparkListener(qListener)
     val results = if (!doQueries) Seq.empty else headline.map { name =>
       val fn = SparkEntry.queries(name)
+      qListener.reset()
       val (_, secs) = time {
         try fn(spark, sfDir).count()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
       }
-      name -> secs
+      org.apache.spark.GraftSparkBridge.waitForListeners(spark.sparkContext)
+      (name, secs, qListener.shuffleWriteMb)
     }
     // headline pipeline measurement in the primary session
     val (pTiles, pSecs) = time(pipeline(spark, pagesPath))
@@ -215,11 +221,14 @@ object Bench {
         s""""all_pairs":$allPairs,$stagesJson}"""
     }
 
-    val qs = (results :+ ("pipeline_tiles" -> pipeBest))
+    val qs = (results.map(r => (r._1, r._2)) :+ ("pipeline_tiles" -> pipeBest))
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val shuf = results.map { case (k, _, mb) => "\"" + k + "\":" + fmt(mb, 1) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + pipeBest
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+      s""""shuffle_write_mb":$shuf,""" +
       s""""sf":"$sfDir","pages":$nPages,"gen_sec":${fmt(genSecs)},"tiles":$pTiles,""" +
       s""""tiles_per_sec":${fmt(pTiles / pipeBest, 1)},""" +
       s""""pages_per_sec":${fmt(nPages / pipeBest, 1)}$scalingJson}""")
