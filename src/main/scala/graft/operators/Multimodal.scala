@@ -272,6 +272,35 @@ object Multimodal {
     media.mapPartitions { it => it.map(decodeBytes) }
   }
 
+  /** Decode result with an error channel: `error` is null on success,
+    * else the parse failure and a zeroed payload row. */
+  final case class DecodedSafe(media_id: Long, kind: String, width: Int,
+                               height: Int, channels: Int, n_frames: Int,
+                               features: Array[Float], error: String)
+
+  /** Corruption-tolerant decode — the 100 TB default: at scale a corpus
+    * ALWAYS contains truncated/corrupt payloads, and a throwing kernel
+    * kills the whole job for one bad row. Bad rows become zeroed rows
+    * with the failure in `error` (filter or count them downstream);
+    * good rows are identical to [[decode]].
+    */
+  def decodeSafe(media: Dataset[Media]): Dataset[DecodedSafe] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        try {
+          val d = decodeBytes(m)
+          DecodedSafe(d.media_id, d.kind, d.width, d.height, d.channels,
+            d.n_frames, d.features, null)
+        } catch {
+          case e: Exception =>
+            DecodedSafe(m.media_id, m.kind, 0, 0, 0, 0,
+              new Array[Float](16), String.valueOf(e.getMessage))
+        }
+      }
+    }
+  }
+
   /** Resize plan: compute target dims bounded by `maxSide` keeping aspect
     * ratio — pure column math on decoded metadata.
     */

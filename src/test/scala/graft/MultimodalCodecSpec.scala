@@ -119,3 +119,32 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(sig(1) === sig(6))
   }
 }
+
+class MultimodalSafeSpec extends AnyFunSuite {
+  import SharedSpark._
+  import graft.operators.Multimodal
+  import graft.operators.Multimodal.Media
+
+  test("decodeSafe survives truncated/corrupt payloads and flags them") {
+    import spark.implicits._
+    val good = Multimodal.encodePpm(2, 2, Array.fill[Byte](12)(7))
+    val corrupt = Seq(
+      Media(0L, "image", good),                          // fine
+      Media(1L, "image", good.take(6)),                  // truncated pixels -> OOB
+      Media(2L, "image", "garbage".getBytes),            // not a P6
+      Media(3L, "audio", Array[Byte](1, 2, 3)),          // not RIFF
+      Media(4L, "video", "YUV4MPEG2 Wx H2\n".getBytes),  // bad header
+      Media(5L, "nonsense", good))                       // unknown kind
+    val out = Multimodal.decodeSafe(corrupt.toDS().repartition(3))
+      .collect().map(d => d.media_id -> d).toMap
+    assert(out(0L).error === null && out(0L).width === 2)
+    (1L to 5L).foreach { i =>
+      assert(out(i).error != null, s"row $i should be flagged")
+      assert(out(i).width === 0)
+    }
+    // the throwing variant does fail on the same input (contract contrast)
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decode(corrupt.toDS()).collect()
+    }
+  }
+}
