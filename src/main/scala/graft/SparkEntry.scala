@@ -280,6 +280,20 @@ object SparkEntry {
         Seq("event_type"), col("value"), binWidth = 2.0, shrink = 2,
         minPerBin = 20, minFracFine = 0.3, minFracCoarse = 0.2, minBins = 5)
     }),
+    // ---- per-language top words (heavy hitters): partial hash agg
+    //      pre-reduces hot words map-side; Spark 4 plans the rank filter
+    //      as WindowGroupLimit (partial top-k before the final window) ----
+    "q48_top_words" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("lang"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+      val counts = toks.groupBy("lang", "word").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n").desc, col("word").asc)
+      counts.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+    }),
     // ---- PII scrubbing (C4 step): counts + redaction. The corpus has
     //      no PII, so it is injected deterministically in-query (SQL-
     //      replicable) — detect-and-redact is then oracle-checkable ----
@@ -751,6 +765,16 @@ object SparkEntry {
         |  round(CASE WHEN count(value) >= 50 THEN quantile_cont(value, 0.16) END, 6) AS p16,
         |  round(CASE WHEN count(value) >= 50 THEN quantile_cont(value, 0.84) END, 6) AS p84
         |FROM events GROUP BY event_type""".stripMargin,
+    "q48_top_words" ->
+      """SELECT lang, word, n, rank FROM (
+        |  SELECT lang, word, count(*) AS n,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY count(*) DESC, word ASC) AS rank
+        |  FROM (SELECT lang, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+        |        FROM documents)
+        |  WHERE length(word) > 0
+        |  GROUP BY lang, word)
+        |WHERE rank <= 10""".stripMargin,
     "q46_pii_redact" ->
       // same injection rule + same RE2-compatible patterns
       """WITH w AS (

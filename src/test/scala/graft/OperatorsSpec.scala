@@ -355,3 +355,15 @@ class PiiSpec extends AnyFunSuite {
     assert(got(1).getString(3) === "no pii here at all")
   }
 }
+
+class TopWordsSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("q48 plan uses WindowGroupLimit (partial top-k before the final window)") {
+    val plan = SparkEntry.queries("q48_top_words")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    // partial aggregation present: hot words pre-reduce map-side
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"), plan.take(2000))
+  }
+}
