@@ -23,6 +23,9 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("scans prune columns: q20 reads only doc_id+text") {
+    // another suite may have cached the documents table in the shared
+    // session — pruning is a property of the parquet scan, so uncache
+    spark.catalog.clearCache()
     val p = planOf("q20_text_stats")
     val readSchema = "ReadSchema: struct<doc_id:bigint,text:string>"
     assert(p.contains(readSchema), p.take(1500))
