@@ -280,6 +280,21 @@ object SparkEntry {
         Seq("event_type"), col("value"), binWidth = 2.0, shrink = 2,
         minPerBin = 20, minFracFine = 0.3, minFracCoarse = 0.2, minBins = 5)
     }),
+    // ---- PCA dimensionality reduction: one-pass covariance train,
+    //      zero-shuffle codegen'd projection (fixture-pinned: eigen
+    //      basis is not SQL-derivable; semantics in PcaSpec) ----
+    "q49_pca_project" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val m = graft.operators.Similarity.pcaTrain(e, k = 4)
+      val p = graft.functions.vec.pca_project(col("embedding"), m.mean, m.basis)
+      e.filter(pmod(col("vec_id"), lit(10)) === 0)
+        .withColumn("__p", p)
+        .select(col("vec_id"),
+          round(element_at(col("__p"), 1).cast("double"), 5).as("pc1"),
+          round(element_at(col("__p"), 2).cast("double"), 5).as("pc2"),
+          round(element_at(col("__p"), 3).cast("double"), 5).as("pc3"),
+          round(element_at(col("__p"), 4).cast("double"), 5).as("pc4"))
+    }),
     // ---- per-language top words (heavy hitters): partial hash agg
     //      pre-reduces hot words map-side; Spark 4 plans the rank filter
     //      as WindowGroupLimit (partial top-k before the final window) ----

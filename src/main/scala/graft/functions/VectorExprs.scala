@@ -78,6 +78,27 @@ case class NearestCentroidsExpr(child: Expression, centroids: Array[Array[Float]
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** pca_project(vec) → array<float>: center on `mean`, project onto the
+  * `basis` rows. Model rides the serialized plan (addReferenceObj) —
+  * dimensionality reduction is a zero-shuffle map over the scan.
+  */
+case class PcaProjectExpr(child: Expression, mean: Array[Double],
+                          basis: Array[Array[Double]]) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "pca_project"
+  override protected def nullSafeEval(a: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.core.PcaKernel.project(a.asInstanceOf[ArrayData], mean, basis))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("mean", mean, "double[]")
+    val b = ctx.addReferenceObj("basis", basis, "double[][]")
+    defineCodeGen(ctx, ev, v =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.core.PcaKernel.project($v, $m, $b))")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object vec {
   import org.apache.spark.sql.GraftBridge.{column, expression}
 
@@ -91,4 +112,6 @@ object vec {
     column(NearestCentroidExpr(expression(a), centroids))
   def nearest_centroids(a: Column, centroids: Array[Array[Float]], k: Int): Column =
     column(NearestCentroidsExpr(expression(a), centroids, k))
+  def pca_project(a: Column, mean: Array[Double], basis: Array[Array[Double]]): Column =
+    column(PcaProjectExpr(expression(a), mean, basis))
 }

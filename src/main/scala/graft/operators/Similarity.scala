@@ -95,4 +95,66 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col(qId), col(cId), round(col("cosine"), 6).as("cosine"), col("rank"))
   }
+
+  /** PCA model: mean vector, top-k eigenvector basis (rows), and the
+    * eigenvalues (= per-component population variances).
+    */
+  final case class PcaModel(mean: Array[Double], basis: Array[Array[Double]],
+                            eigenvalues: Array[Double])
+
+  /** PCA training in ONE distributed pass: each partition folds its rows
+    * into (n, Σx, Σxxᵀ) — d + d² doubles, ~33 KB at d=64 — and the tiny
+    * per-partition partials are combined on the driver in partition-index
+    * order (deterministic for a given partitioning). The covariance
+    * eigen-decomposition is O(d³) driver work (core/Eigen Jacobi),
+    * irrelevant next to the scan. Projection then rides the serialized
+    * plan as a codegen'd expression — the nearest_centroid pattern —
+    * so reducing 100 TB of embeddings is a zero-shuffle map.
+    */
+  def pcaTrain(corpus: DataFrame, k: Int,
+               cVec: String = "embedding"): PcaModel = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val parts = corpus.select(col(cVec)).as[Array[Float]]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val first = it.next()
+          val d = first.length
+          val sum = new Array[Double](d)
+          val outer = new Array[Double](d * d)
+          var n = 0L
+          def add(v: Array[Float]): Unit = {
+            var i = 0
+            while (i < d) {
+              val vi = v(i).toDouble
+              sum(i) += vi
+              var j = 0
+              while (j < d) { outer(i * d + j) += vi * v(j).toDouble; j += 1 }
+              i += 1
+            }
+            n += 1
+          }
+          add(first)
+          it.foreach(add)
+          Iterator.single((n, sum, outer))
+        }
+      }.collect() // P × (1 + d + d²) doubles — driver-safe at any corpus size
+    require(parts.nonEmpty, "pcaTrain on an empty corpus")
+    val d = parts.head._2.length
+    var n = 0L
+    val sum = new Array[Double](d)
+    val outer = new Array[Double](d * d)
+    parts.foreach { case (pn, ps, po) =>
+      n += pn
+      var i = 0
+      while (i < d) { sum(i) += ps(i); i += 1 }
+      i = 0
+      while (i < d * d) { outer(i) += po(i); i += 1 }
+    }
+    val mean = sum.map(_ / n)
+    val cov = Array.tabulate(d, d)((i, j) => outer(i * d + j) / n - mean(i) * mean(j))
+    val (evals, evecs) = graft.core.Eigen.jacobi(cov)
+    PcaModel(mean, evecs.take(k), evals.take(k))
+  }
 }

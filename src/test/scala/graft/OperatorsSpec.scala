@@ -367,3 +367,63 @@ class TopWordsSpec extends AnyFunSuite {
     assert(plan.contains("partial_count") || plan.contains("HashAggregate"), plan.take(2000))
   }
 }
+
+class PcaSpec extends AnyFunSuite {
+  import SharedSpark._
+  import graft.core.Eigen
+
+  test("jacobi: exact eigenpairs on a known symmetric matrix") {
+    // [[2,1],[1,2]] -> eigenvalues 3, 1; vectors (1,1)/sqrt2, (1,-1)/sqrt2
+    val (ev, vecs) = Eigen.jacobi(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(ev(0) - 3.0) < 1e-12 && math.abs(ev(1) - 1.0) < 1e-12)
+    val r = 1.0 / math.sqrt(2.0)
+    assert(vecs(0).zip(Array(r, r)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
+  test("jacobi on the real covariance: A·v = λ·v, orthonormal basis") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val model = graft.operators.Similarity.pcaTrain(e, k = 8)
+    // rebuild the full covariance once (small table) to check residuals
+    import spark.implicits._
+    val rows = e.select(org.apache.spark.sql.functions.col("embedding"))
+      .as[Array[Float]].collect()
+    val d = rows.head.length; val n = rows.length
+    val mean = Array.tabulate(d)(j => rows.map(_(j).toDouble).sum / n)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      rows.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / n)
+    model.basis.zip(model.eigenvalues).foreach { case (v, l) =>
+      val av = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val resid = math.sqrt(av.zip(v).map { case (a, b) => (a - l * b) * (a - l * b) }.sum)
+      assert(resid < 1e-9 * math.max(1.0, math.abs(l)), s"eigen residual $resid for λ=$l")
+    }
+    for (i <- model.basis.indices; j <- model.basis.indices) {
+      val dot = model.basis(i).zip(model.basis(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-10)
+    }
+    // eigenvalues descending and nonnegative (covariance is PSD)
+    assert(model.eigenvalues.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    assert(model.eigenvalues.forall(_ > -1e-10))
+  }
+
+  test("projected component variances equal the eigenvalues; train is partitioning-stable") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val m = graft.operators.Similarity.pcaTrain(e, k = 3)
+    val proj = e.select(graft.functions.vec.pca_project(
+      col("embedding"), m.mean, m.basis).as("p"))
+    val stats = proj.select(
+      var_pop(element_at(col("p"), 1).cast("double")).as("v1"),
+      var_pop(element_at(col("p"), 2).cast("double")).as("v2"),
+      avg(element_at(col("p"), 1).cast("double")).as("m1")).head()
+    assert(math.abs(stats.getDouble(0) - m.eigenvalues(0)) < 1e-4 * m.eigenvalues(0))
+    assert(math.abs(stats.getDouble(1) - m.eigenvalues(1)) < 1e-4 * m.eigenvalues(1))
+    assert(math.abs(stats.getDouble(2)) < 1e-6) // centered
+    // partitioning changes float summation order only at ~1e-12
+    val m2 = graft.operators.Similarity.pcaTrain(e.repartition(7), k = 3)
+    m.eigenvalues.zip(m2.eigenvalues).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9 * math.max(1.0, a))
+    }
+    // projection plan is a pure map — no Exchange
+    assert(!proj.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+}
