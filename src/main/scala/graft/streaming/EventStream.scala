@@ -48,6 +48,22 @@ object EventStream {
       .select(col("w.start").as("win_start"), col("tile_id"), col("n_mentions"))
   }
 
+  /** Streaming exact dedup: fingerprint the text (codegen'd 64-bit
+    * rolling hash — same kernel as batch q23) and keep the first
+    * occurrence per fingerprint. On a stream this is Structured
+    * Streaming's stateful dropDuplicates bounded by the watermark (state
+    * for a fingerprint can be dropped once its event-time window has
+    * passed); on a batch frame the same definition degrades to a plain
+    * dropDuplicates — one definition, two run modes, like windowedCounts.
+    */
+  def dedupStream(pages: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val fp = pages.withColumn("fp",
+      graft.functions.text.fingerprint64(col("text")))
+    val src = if (pages.isStreaming) fp.withWatermark("warc_ts", watermark) else fp
+    src.dropDuplicates("fp")
+      .select(col("url"), col("warc_ts"), col("fp"))
+  }
+
   final case class SessionUpdate(user_id: Long, n_events: Long,
                                  first_us: Long, last_us: Long, closed: Boolean)
 

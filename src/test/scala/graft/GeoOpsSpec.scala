@@ -211,3 +211,64 @@ class GeodesicSpec extends AnyFunSuite {
     }
   }
 }
+
+class StreamDedupSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("streaming dedup keeps one row per fingerprint; batch mode agrees on the fp set") {
+    import spark.implicits._
+    val pages = graft.sources.SynthPages.pagesDF(spark, 600) // generator injects dups
+    val batchFps = graft.streaming.EventStream.dedupStream(pages)
+      .select("fp").collect().map(_.getLong(0)).sorted.toSeq
+    val distinctFps = pages
+      .select(graft.functions.text.fingerprint64(col("text")).as("fp"))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    assert(batchFps === distinctFps)
+    assert(batchFps.length < 600, "generator must emit duplicate texts")
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (String, java.sql.Timestamp, String)]
+    val q = graft.streaming.EventStream.dedupStream(
+        input.toDF().toDF("url", "warc_ts", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedupstream").start()
+    // micro-batches arrive in event-time order (live ingest); rows behind
+    // the watermark would be dropped as late data by design
+    val rows = pages.select(col("url"), col("warc_ts"), col("text"))
+      .as[(String, java.sql.Timestamp, String)].collect()
+      .sortBy(_._2.getTime)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    input.addData(b1.toSeq); q.processAllAvailable()
+    input.addData(b2.toSeq); q.processAllAvailable()
+    val got = spark.table("dedupstream").select("fp")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    q.stop()
+    assert(got === distinctFps) // dedup holds ACROSS micro-batches
+  }
+}
+
+class CrossModalSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("decode features → PCA → ANN compose into a media-similarity pipeline") {
+    import org.apache.spark.sql.functions._
+    val media = graft.operators.Multimodal.synthMedia(spark, 400)
+    val feats = graft.operators.Multimodal.decode(media).toDF()
+      .select(col("media_id").as("vec_id"),
+        transform(col("features"), f => f).as("embedding"))
+    val m = graft.operators.Similarity.pcaTrain(feats, k = 8)
+    val reduced = feats.select(col("vec_id"),
+      graft.functions.vec.pca_project(col("embedding"), m.mean, m.basis)
+        .as("embedding"))
+    val qs = reduced.filter(pmod(col("vec_id"), lit(40)) === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val topk = graft.operators.Similarity.bruteForceTopK(qs, reduced, k = 5)
+    val counts = topk.groupBy("q_id").count().collect()
+    assert(counts.nonEmpty && counts.forall(_.getLong(1) === 5L))
+    // self-similarity: each query's own vector ranks first
+    val self = topk.filter(col("rank") === 1)
+      .filter(col("q_id") === col("vec_id")).count()
+    assert(self === counts.length.toLong)
+  }
+}
