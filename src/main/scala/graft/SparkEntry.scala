@@ -280,6 +280,11 @@ object SparkEntry {
         Seq("event_type"), col("value"), binWidth = 2.0, shrink = 2,
         minPerBin = 20, minFracFine = 0.3, minFracCoarse = 0.2, minBins = 5)
     }),
+    // ---- TF-IDF (smoothed): top term per document ----
+    "q50_tfidf" -> ((s, dir) => {
+      graft.operators.TextAnalysis.tfidfTop(
+        t(s, dir, "documents"), "text", "doc_id")
+    }),
     // ---- PCA dimensionality reduction: one-pass covariance train,
     //      zero-shuffle codegen'd projection (fixture-pinned: eigen
     //      basis is not SQL-derivable; semantics in PcaSpec) ----
@@ -780,6 +785,26 @@ object SparkEntry {
         |  round(CASE WHEN count(value) >= 50 THEN quantile_cont(value, 0.16) END, 6) AS p16,
         |  round(CASE WHEN count(value) >= 50 THEN quantile_cont(value, 0.84) END, 6) AS p84
         |FROM events GROUP BY event_type""".stripMargin,
+    "q50_tfidf" ->
+      // same smoothed-idf formula text: ln((N+1)/(df+1)) + 1
+      """WITH toks AS (
+        |  SELECT doc_id AS id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT id, term, count(*) AS tc,
+        |    sum(count(*)) OVER (PARTITION BY id) AS nw
+        |  FROM toks WHERE length(term) > 0 GROUP BY id, term),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.id, tf.term,
+        |    (CAST(tc AS DOUBLE) / nw) *
+        |      (ln((CAST((SELECT n FROM nd) AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) + 1.0) AS tfidf
+        |  FROM tf JOIN dfq ON tf.term = dfq.term)
+        |SELECT id AS doc_id, term AS top_term, round(tfidf, 6) AS tfidf
+        |FROM (SELECT *, row_number() OVER (PARTITION BY id
+        |        ORDER BY tfidf DESC, term ASC) AS rn FROM scored)
+        |WHERE rn = 1""".stripMargin,
     "q48_top_words" ->
       """SELECT lang, word, n, rank FROM (
         |  SELECT lang, word, count(*) AS n,

@@ -105,6 +105,31 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     graft.functions.text.fingerprint64(text)
 
+  /** TF-IDF with smoothed IDF (ln((N+1)/(df+1)) + 1): per document the
+    * top-scoring term (ties → lexicographically smallest). Every stage
+    * is a key-partitioned aggregation or broadcast-ready join — term
+    * counts pre-reduce map-side; the df table is |vocabulary|-sized.
+    */
+  def tfidfTop(df: org.apache.spark.sql.DataFrame, textCol: String,
+               idCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tc"))
+      .withColumn("nw", sum(col("tc")).over(Window.partitionBy("id")))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.select(col(idCol)).distinct().count()
+    val scored = tf.join(docFreq, "term")
+      .withColumn("tfidf",
+        (col("tc").cast("double") / col("nw")) *
+          (log((lit(nDocs.toDouble) + 1.0) / (col("df").cast("double") + 1.0)) + 1.0))
+    val w = Window.partitionBy("id").orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("id").as(idCol), col("term").as("top_term"),
+        round(col("tfidf"), 6).as("tfidf"))
+  }
+
   /** PII patterns (C4-family scrubbing step). Lookaround-free so
     * java.util.regex (Spark) and RE2 (DuckDB oracle) match identically.
     */
