@@ -37,15 +37,26 @@ object Profile {
       println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
     // optional: repeated full-pipeline timing (arg 2 = reps)
+    // optional: interleaved per-zoom vs pyramid A/B (same JVM — the host's
+    // noise windows hit both variants equally); arg 2 = reps per variant
     args.lift(1).map(_.toInt).filter(_ > 0).foreach { reps =>
-      for (i <- 0 until reps) {
+      def run(pyramid: Boolean): Double = {
         val t0 = System.nanoTime()
         val pages = spark.read.parquet(pagesPath)
         val features = graft.operators.GeoPipeline.pagesToFeatures(spark, pages)
           .filter(col("lat").isNotNull)
-        val n = graft.operators.Tiler.buildTiles(features, Seq(4, 8, 12)).count()
-        println(f"[profile] pipeline rep=$i cores=$cpus ${(System.nanoTime() - t0) / 1e9}%8.2f s tiles=$n")
+        val tiles =
+          if (pyramid) graft.operators.Tiler.buildTilesPyramid(features, Seq(4, 8, 12))
+          else graft.operators.Tiler.buildTiles(features, Seq(4, 8, 12))
+        val n = tiles.count()
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"[profile] pipeline ${if (pyramid) "pyramid" else "perzoom"}%-8s cores=$cpus $s%8.2f s tiles=$n")
+        s
       }
+      run(pyramid = false); run(pyramid = true) // warmup both paths
+      val pairs = (0 until reps).map(_ => (run(pyramid = false), run(pyramid = true)))
+      println(f"[profile] MIN perzoom=${pairs.map(_._1).min}%.2f s " +
+        f"pyramid=${pairs.map(_._2).min}%.2f s")
       spark.stop()
       return
     }

@@ -150,7 +150,7 @@ object SparkEntry {
     "q14_tile_counts_via_tiler" -> ((s, dir) => {
       val pts = derivedPoints(s, dir)
         .select(col("lon"), col("lat"), col("doc_id").cast("string").as("name"))
-      graft.operators.Tiler.buildTiles(pts, Seq(4, 6), cap = Int.MaxValue).toDF()
+      graft.operators.Tiler.buildTilesPyramid(pts, Seq(4, 6), cap = Int.MaxValue).toDF()
         .select(col("zoom").cast("long").as("zoom"), col("x"), col("y"),
           col("n_features").cast("long").as("n_features"))
     }),

@@ -81,25 +81,75 @@ object Tiler {
       .as[(Long, Long, Double, Double, String, String)]
 
     val topk = new TopKFeatures(cap).toColumn
-    proj
+    encodeBuffered(proj
       .groupByKey(_._1)
       .mapValues(r => Feat(r._2, r._3, r._4, r._5, r._6))
-      .agg(topk)
-      .map { case (tileId, feats) =>
-        val zoom = WebMercator.tileIdZoom(tileId)
-        val tx = WebMercator.tileIdX(tileId)
-        val ty = WebMercator.tileIdY(tileId)
-        val mvtFeatures = feats.zipWithIndex.map { case (f, i) =>
-          val lx = WebMercator.localX(f.lon, zoom, tx)
-          val ly = WebMercator.localY(f.lat, zoom, ty)
-          MvtEncoder.Feature(i.toLong + 1, MvtEncoder.GeomPoint,
-            Array(Array((lx, ly))),
-            Seq("kind" -> MvtEncoder.SVal(f.kind)) ++
-              (if (f.name.nonEmpty) Seq("name" -> MvtEncoder.SVal(f.name)) else Nil))
-        }
-        val bytes = MvtEncoder.encodeTile(Seq(layerName -> mvtFeatures.toSeq))
-        TileRow(zoom, tx, ty, feats.length, bytes)
+      .agg(topk), layerName)
+  }
+
+  /** Encode per-tile top-capped feature buffers into MVT rows. */
+  private def encodeBuffered(buffered: Dataset[(Long, Array[Feat])],
+                             layerName: String): Dataset[TileRow] = {
+    import buffered.sparkSession.implicits._
+    buffered.map { case (tileId, feats) =>
+      val zoom = WebMercator.tileIdZoom(tileId)
+      val tx = WebMercator.tileIdX(tileId)
+      val ty = WebMercator.tileIdY(tileId)
+      val mvtFeatures = feats.zipWithIndex.map { case (f, i) =>
+        val lx = WebMercator.localX(f.lon, zoom, tx)
+        val ly = WebMercator.localY(f.lat, zoom, ty)
+        MvtEncoder.Feature(i.toLong + 1, MvtEncoder.GeomPoint,
+          Array(Array((lx, ly))),
+          Seq("kind" -> MvtEncoder.SVal(f.kind)) ++
+            (if (f.name.nonEmpty) Seq("name" -> MvtEncoder.SVal(f.name)) else Nil))
       }
+      val bytes = MvtEncoder.encodeTile(Seq(layerName -> mvtFeatures.toSeq))
+      TileRow(zoom, tx, ty, feats.length, bytes)
+    }
+  }
+
+  /** Pyramid tile build: assign ONLY the finest zoom (1× fan-out of the
+    * heavy base stage instead of ×|zooms|), then roll every coarser zoom
+    * up from the finest per-tile top-cap buffers. EXACT, not approximate:
+    * each member of a parent tile's top-cap is necessarily inside its
+    * descendant tile's top-cap (the descendant's points are a subset of
+    * the parent's, so anything parent-ranked within cap is also
+    * descendant-ranked within cap) — re-aggregating descendant caps
+    * reproduces the parent cap bit-for-bit; TilerSpec pins byte parity
+    * vs buildTiles. Per-coarse-level work is (#finest tiles × cap) rows,
+    * not N — at 9 zoom levels the 100 TB shuffle shrinks ~9×.
+    * The resume path (Main) keeps the per-zoom assign, whose anti-join
+    * must see every zoom's keys before the encode.
+    */
+  def buildTilesPyramid(features: DataFrame, zooms: Seq[Int],
+                        cap: Int = 4096,
+                        layerName: String = "features"): Dataset[TileRow] = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    val zs = zooms.distinct.sorted
+    val finest = zs.max
+    val proj = assignTiles(features, Seq(finest)).select(
+        col("tile_id"), col("fkey"), col("lon"), col("lat"),
+        col("kind"), col("name"))
+      .as[(Long, Long, Double, Double, String, String)]
+    val topk = new TopKFeatures(cap).toColumn
+    // reused by every coarser level and its own encode — cache the small
+    // (tiles × cap) buffer table, not the raw input
+    val base = proj.groupByKey(_._1)
+      .mapValues(r => Feat(r._2, r._3, r._4, r._5, r._6))
+      .agg(topk)
+      .persist()
+    val coarser = zs.init.map { z =>
+      val dz = finest - z
+      val rolled = base.flatMap { case (tid, feats) =>
+        val pid = WebMercator.tileId(z,
+          WebMercator.tileIdX(tid) >> dz, WebMercator.tileIdY(tid) >> dz)
+        feats.iterator.map(f => (pid, f))
+      }
+      encodeBuffered(rolled.groupByKey(_._1).mapValues(_._2).agg(topk),
+        layerName)
+    }
+    coarser.foldLeft(encodeBuffered(base, layerName))(_ unionByName _)
   }
 
   /** Tile DataFrame with sizes + packed tile_id — input to lineage metrics. */

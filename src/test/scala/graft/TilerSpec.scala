@@ -195,3 +195,42 @@ class LineageSpec extends AnyFunSuite {
     assert(m.agg(sum("row_count")).head.getLong(0) === gotIds.size.toLong)
   }
 }
+
+class PyramidTilerSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  private def skewedFeatures(n: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      // Zipf-ish: most points cluster in one city tile, tail spreads out
+      val hot = graft.core.Rng.uniform(21L, i, 1L) < 0.6
+      val lon = if (hot) 2.30 + graft.core.Rng.uniform(21L, i, 2L) * 0.05
+                else graft.core.Rng.uniform(21L, i, 3L) * 360.0 - 180.0
+      val lat = if (hot) 48.80 + graft.core.Rng.uniform(21L, i, 4L) * 0.05
+                else graft.core.Rng.uniform(21L, i, 5L) * 170.0 - 85.0
+      (lon, lat, "point", s"f$i")
+    }.toDF("lon", "lat", "kind", "name")
+  }
+
+  private def canon(t: graft.operators.TileRow): (Int, Long, Long, Int, Seq[Byte]) =
+    (t.zoom, t.x, t.y, t.n_features, t.mvt_bytes.toSeq)
+
+  test("pyramid build is byte-identical to the per-zoom build (capped + uncapped)") {
+    val feats = skewedFeatures(3000)
+    for (cap <- Seq(32, Int.MaxValue)) {
+      val direct = graft.operators.Tiler.buildTiles(feats, Seq(3, 5, 9), cap)
+        .collect().map(canon).sortBy(t => (t._1, t._2, t._3)).toSeq
+      val pyramid = graft.operators.Tiler.buildTilesPyramid(feats, Seq(3, 5, 9), cap)
+        .collect().map(canon).sortBy(t => (t._1, t._2, t._3)).toSeq
+      assert(pyramid === direct, s"cap=$cap")
+    }
+  }
+
+  test("pyramid build assigns the raw input at the finest zoom only") {
+    val feats = skewedFeatures(400)
+    val plan = graft.operators.Tiler.buildTilesPyramid(feats, Seq(4, 8, 12), 64)
+      .queryExecution.optimizedPlan.toString
+    // the ×|zooms| explode over the raw input would show a 3-element array
+    assert(!plan.contains("explode([4,8,12]"), plan.take(1200))
+  }
+}
