@@ -307,9 +307,13 @@ object Multimodal {
   def withResizePlan(decoded: DataFrame, maxSide: Int): DataFrame = {
     val scale = least(lit(1.0),
       lit(maxSide.toDouble) / greatest(col("width"), col("height")))
+    // min with maxSide: dim * (maxSide / dim) can round UP past maxSide
+    // (e.g. ceil(25 * (14.0/25)) = 15) — the bound is the contract
     decoded
-      .withColumn("out_width", ceil(col("width") * scale).cast("int"))
-      .withColumn("out_height", ceil(col("height") * scale).cast("int"))
+      .withColumn("out_width",
+        least(lit(maxSide), ceil(col("width") * scale).cast("int")))
+      .withColumn("out_height",
+        least(lit(maxSide), ceil(col("height") * scale).cast("int")))
   }
 
   /** REAL image resize kernel: nearest-neighbor resample of a P6 payload
@@ -319,8 +323,10 @@ object Multimodal {
     val (w, h, off) = ppmHeader(payload)
     val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
     if (scale >= 1.0) return payload
-    val ow = math.ceil(w * scale).toInt
-    val oh = math.ceil(h * scale).toInt
+    // same min-with-maxSide clamp as withResizePlan (float rounding can
+    // push ceil(dim * scale) one past the bound)
+    val ow = math.min(maxSide, math.ceil(w * scale).toInt)
+    val oh = math.min(maxSide, math.ceil(h * scale).toInt)
     val out = new Array[Byte](ow * oh * 3)
     var y = 0
     while (y < oh) {

@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Prop.forAll
+import org.scalacheck.Test.{check, Parameters}
+
+/** Generative property tests for the round-2 kernels — randomized inputs
+  * (fixed ScalaCheck seed via default params + bounded generators) probe
+  * edge regions that fixed fixtures miss.
+  */
+class PropertySpec extends AnyFunSuite {
+  private val params = Parameters.default.withMinSuccessfulTests(200)
+  private def holds(p: Prop, name: String): Unit = {
+    val r = check(params, p)
+    assert(r.passed, s"$name: ${r.status}")
+  }
+
+  test("repetition metrics are bounded and consistent") {
+    val word = Gen.oneOf("a", "bb", "ccc", "dd", "e")
+    val text = Gen.listOf(word).map(_.mkString(" "))
+    holds(forAll(text) { t =>
+      val r = graft.core.TextStats.repetition(t)
+      val n = r(0)
+      (n >= 0) &&
+        r.drop(1).forall(v => v >= 0.0 && v <= 1.0) &&
+        // single-token text has no bigram metrics
+        (n >= 2 || (r(2) == 0.0 && r(4) == 0.0)) &&
+        // distinct fraction and top-word share are reciprocal bounds
+        (n == 0 || r(1) >= 1.0 / n) && (n == 0 || r(3) >= 1.0 / n)
+    }, "repetition")
+  }
+
+  test("haversine is a symmetric pseudo-metric bounded by half circumference") {
+    val lon = Gen.choose(-180.0, 180.0)
+    val lat = Gen.choose(-85.0, 85.0)
+    holds(forAll(lon, lat, lon, lat) { (lo1, la1, lo2, la2) =>
+      val d = graft.core.GeoKernels.haversineM(lo1, la1, lo2, la2)
+      val back = graft.core.GeoKernels.haversineM(lo2, la2, lo1, la1)
+      d >= 0.0 && d == back &&
+        d <= math.Pi * graft.core.GeoKernels.EarthRadiusM + 1e-6 &&
+        graft.core.GeoKernels.haversineM(lo1, la1, lo1, la1) == 0.0
+    }, "haversine")
+  }
+
+  test("resizePpm dims always within maxSide; pixels come from the source") {
+    val dim = Gen.choose(1, 40)
+    val side = Gen.choose(1, 24)
+    holds(Prop.forAllNoShrink(dim, dim, side, Gen.choose(0L, Long.MaxValue)) { (w, h, ms, seed) =>
+      val rgb = Array.tabulate(w * h * 3)(i =>
+        (graft.core.Rng.mix(seed, i, 1L) & 0xff).toByte)
+      val resized = graft.operators.Multimodal.resizePpm(
+        graft.operators.Multimodal.encodePpm(w, h, rgb), ms)
+      val (ow, oh, off) = graft.operators.Multimodal.ppmHeader(resized)
+      val srcPixels = rgb.grouped(3).map(_.toSeq).toSet
+      val outPixels = resized.drop(off).grouped(3).map(_.toSeq).toSet
+      ow <= math.max(ms, 1) && oh <= math.max(ms, 1) && ow >= 1 && oh >= 1 &&
+        outPixels.subsetOf(srcPixels) // nearest-neighbor never invents pixels
+    }, "resize")
+  }
+
+  test("sampling LCG is uniform enough and in range") {
+    holds(forAll(Gen.choose(0L, Long.MaxValue)) { k =>
+      // replicate Sampling.portableUniform scalar-side
+      val reduced = java.lang.Math.floorMod(k, 2147483647L)
+      val h = java.lang.Math.floorMod(1103515245L * reduced + 12345L, 2147483647L)
+      val u = h.toDouble / 2147483647.0
+      u >= 0.0 && u < 1.0
+    }, "lcg-range")
+    // coarse uniformity over a dense id range (the actual use: doc_id keys)
+    val us = (0L until 20000L).map { k =>
+      val h = java.lang.Math.floorMod(1103515245L * k + 12345L, 2147483647L)
+      h.toDouble / 2147483647.0
+    }
+    val frac = us.count(_ < 0.3).toDouble / us.length
+    assert(math.abs(frac - 0.3) < 0.02, s"rate $frac")
+  }
+
+  test("jacobi eigenvalues of a random symmetric matrix sum to its trace") {
+    val entry = Gen.choose(-5.0, 5.0)
+    val dimG = Gen.choose(2, 10)
+    holds(forAll(dimG, Gen.listOfN(100, entry)) { (d, es) =>
+      val it = Iterator.continually(es).flatten
+      val m = Array.ofDim[Double](d, d)
+      for (i <- 0 until d; j <- i until d) {
+        val v = it.next(); m(i)(j) = v; m(j)(i) = v
+      }
+      val (evals, evecs) = graft.core.Eigen.jacobi(m)
+      val trace = (0 until d).map(i => m(i)(i)).sum
+      math.abs(evals.sum - trace) < 1e-8 * math.max(1.0, math.abs(trace)) &&
+        evecs.forall(v => math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
+    }, "jacobi-trace")
+  }
+}
