@@ -154,6 +154,13 @@ object SparkEntry {
         .select(col("zoom").cast("long").as("zoom"), col("x"), col("y"),
           col("n_features").cast("long").as("n_features"))
     }),
+    // ---- geohash cell encode (third index next to S2/hex; fixture-
+    //      pinned like every custom encoding, semantics in GeohashSpec) ----
+    "q52_geohash" -> ((s, dir) => {
+      derivedPoints(s, dir).select(col("doc_id"),
+        graft.functions.geo.geohash(col("lon"), col("lat"), lit(5)).as("gh5"),
+        graft.functions.geo.geohash(col("lon"), col("lat"), lit(9)).as("gh9"))
+    }),
     // ---- cell encodes exposed (rows-only: custom 64-bit IDs) ----
     "q15_cell_encode" -> ((s, dir) => {
       import graft.functions.geo

@@ -84,6 +84,24 @@ case class HexWktExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** geohash(lon, lat, precision) → String — base32 geohash (public
+  * spec), the prefix-range-scan cell key next to S2/hex. */
+case class GeohashExpr(first: Expression, second: Expression, third: Expression)
+    extends GeoTernaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "geohash"
+  override protected def nullSafeEval(lon: Any, lat: Any, p: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      graft.core.Geohash.encode(lon.asInstanceOf[Double],
+        lat.asInstanceOf[Double], p.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat, p) =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.core.Geohash.encode($lon, $lat, $p))")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
 /** Column-level API + SQL registration. */
 object geo {
   import org.apache.spark.sql.GraftBridge.{column, expression}
@@ -95,6 +113,8 @@ object geo {
   def tile_id(lon: Column, lat: Column, zoom: Column): Column =
     column(TileIdExpr(expression(lon), expression(lat), expression(zoom)))
   def hex_wkt(cell: Column): Column = column(HexWktExpr(expression(cell)))
+  def geohash(lon: Column, lat: Column, precision: Column): Column =
+    column(GeohashExpr(expression(lon), expression(lat), expression(precision)))
 
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

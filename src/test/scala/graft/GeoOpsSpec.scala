@@ -272,3 +272,44 @@ class CrossModalSpec extends AnyFunSuite {
     assert(self === counts.length.toLong)
   }
 }
+
+class GeohashSpec extends AnyFunSuite {
+  import SharedSpark._
+  import graft.core.Geohash
+
+  test("known geohash vectors (public reference values)") {
+    // canonical examples from the public geohash documentation
+    assert(Geohash.encode(-5.6, 42.6, 5) === "ezs42")
+    assert(Geohash.encode(10.40744, 57.64911, 11) === "u4pruydqqvj")
+  }
+
+  test("round-trip: every encoded point lies inside its decoded bbox; prefix = parent") {
+    (0 until 500).foreach { i =>
+      val lon = graft.core.Rng.uniform(31L, i, 1L) * 360.0 - 180.0
+      val lat = graft.core.Rng.uniform(31L, i, 2L) * 180.0 - 90.0
+      val gh9 = Geohash.encode(lon, lat, 9)
+      val (lo, la, hi, ha) = Geohash.decodeBbox(gh9)
+      assert(lon >= lo && lon < hi && lat >= la && lat < ha, s"($lon,$lat) vs $gh9")
+      // prefix property: truncation is the containing coarser cell
+      (1 until 9).foreach { p =>
+        assert(Geohash.encode(lon, lat, p) === gh9.take(p))
+      }
+    }
+  }
+
+  test("geohash expression stays codegen'd; distinct cells partition the points") {
+    import spark.implicits._
+    val pts = spark.range(0, 2000, 1, 4).toDF("id")
+      .withColumn("lon", pmod(col("id") * 17.17, lit(360.0)) - 180.0)
+      .withColumn("lat", pmod(col("id") * 7.07, lit(180.0)) - 90.0)
+    val enc = pts.select(col("id"),
+      graft.functions.geo.geohash(col("lon"), col("lat"), lit(4)).as("gh"))
+    assert(enc.queryExecution.executedPlan.toString.contains("*(1)"))
+    // every row gets exactly one cell; coarser grouping only merges cells
+    assert(enc.count() === 2000)
+    val fine = enc.select(substring(col("gh"), 1, 2).as("p")).distinct().count()
+    val coarse = pts.select(graft.functions.geo.geohash(col("lon"), col("lat"), lit(2)).as("p"))
+      .distinct().count()
+    assert(fine === coarse) // prefix-2 of precision-4 == precision-2 encode
+  }
+}
