@@ -154,6 +154,15 @@ object SparkEntry {
         .select(col("zoom").cast("long").as("zoom"), col("x"), col("y"),
           col("n_features").cast("long").as("n_features"))
     }),
+    // ---- k-anonymity cell suppression (geo-privacy governance): drop
+    //      every z4-tile cell with fewer than 3 points; SQL-exact tile
+    //      math so the oracle re-derives the suppression independently ----
+    "q53_k_anonymize" -> ((s, dir) => {
+      val pts = derivedPoints(s, dir)
+      graft.operators.SpatialJoin.kAnonymizeCells(pts,
+        graft.functions.geo.tile_id(col("lon"), col("lat"), lit(4)), k = 3)
+        .select(col("doc_id"), col("cell"), col("cell_n"))
+    }),
     // ---- geohash cell encode (third index next to S2/hex; fixture-
     //      pinned like every custom encoding, semantics in GeohashSpec) ----
     "q52_geohash" -> ((s, dir) => {
@@ -792,6 +801,21 @@ object SparkEntry {
         |  round(CASE WHEN count(value) >= 50 THEN quantile_cont(value, 0.16) END, 6) AS p16,
         |  round(CASE WHEN count(value) >= 50 THEN quantile_cont(value, 0.84) END, 6) AS p84
         |FROM events GROUP BY event_type""".stripMargin,
+    "q53_k_anonymize" ->
+      // same z4 tile math (proven exact in q10/q11) + the same packing
+      // as Tiler.tilesWithStats: (z << 58) | (x << 29) | y
+      s"""WITH pts AS ($derivedPointsSql),
+         |cells AS (
+         |  SELECT doc_id,
+         |    (CAST(4 AS BIGINT) << 58)
+         |      | (CAST(floor((lon + 180.0) / 360.0 * 16.0) AS BIGINT) << 29)
+         |      | CAST(floor((1.0 - ln(tan(pi() / 4.0 + radians(lat) / 2.0)) / pi()) / 2.0 * 16.0) AS BIGINT)
+         |      AS cell
+         |  FROM pts),
+         |crowds AS (SELECT cell, count(*) AS cell_n FROM cells
+         |           GROUP BY cell HAVING count(*) >= 3)
+         |SELECT c.doc_id, c.cell, crowds.cell_n
+         |FROM cells c JOIN crowds ON c.cell = crowds.cell""".stripMargin,
     "q50_tfidf" ->
       // same smoothed-idf formula text: ln((N+1)/(df+1)) + 1
       """WITH toks AS (

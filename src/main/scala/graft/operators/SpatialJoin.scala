@@ -64,6 +64,24 @@ case class PipQueryExpr(first: Expression, second: Expression, third: Expression
   * candidates. At 100 TB this is shuffle-free on the big side.
   */
 object SpatialJoin {
+  /** k-anonymity cell suppression (geo-privacy governance for published
+    * training data): coarsen each point to a cell and DROP every cell
+    * holding fewer than k points — no row in the output is localizable
+    * below a crowd of k. Pure groupBy + semi-join; the big side shuffles
+    * once on the cell key. Output: one row per surviving point with its
+    * cell id and the cell's population.
+    */
+  def kAnonymizeCells(points: org.apache.spark.sql.DataFrame,
+                      cell: org.apache.spark.sql.Column,
+                      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val withCell = points.withColumn("cell", cell)
+    val crowds = withCell.groupBy("cell")
+      .agg(count(lit(1)).as("cell_n"))
+      .filter(col("cell_n") >= k)
+    withCell.join(crowds, "cell")
+  }
+
   import org.apache.spark.sql.GraftBridge.{column, expression}
 
   def pip_contains(adminId: Column, lon: Column, lat: Column,

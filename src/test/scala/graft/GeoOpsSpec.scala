@@ -313,3 +313,22 @@ class GeohashSpec extends AnyFunSuite {
     assert(fine === coarse) // prefix-2 of precision-4 == precision-2 encode
   }
 }
+
+class KAnonymitySpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("no output row sits in a cell with fewer than k peers; suppression is complete") {
+    import spark.implicits._
+    // 10 points clustered in one cell + 5 scattered singletons
+    val pts = ((0 until 10).map(i => (i.toLong, 2.30 + i * 0.001, 48.85)) ++
+      Seq((10L, 100.0, 10.0), (11L, -100.0, -10.0), (12L, 50.0, 50.0),
+        (13L, -50.0, -50.0), (14L, 170.0, 70.0)))
+      .toDF("id", "lon", "lat")
+    val out = graft.operators.SpatialJoin.kAnonymizeCells(pts,
+      graft.functions.geo.hex_cell(col("lon"), col("lat"), lit(5)), k = 3)
+    val rows = out.select("id", "cell_n").collect()
+    assert(rows.length === 10) // only the cluster survives
+    assert(rows.forall(_.getLong(1) >= 3))
+    assert(rows.map(_.getLong(0)).toSet === (0L until 10L).toSet)
+  }
+}
