@@ -159,3 +159,32 @@ class QueriesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 }
+
+class WarcSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("WARC-style records round-trip through the distributed text-split reader") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc").toString
+    val pages = graft.sources.SynthPages.pagesDF(spark, 60)
+    // two files so the glob + multi-file path is exercised
+    graft.sources.BinaryPages.writeWarcFile(
+      pages.filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("url")),
+        org.apache.spark.sql.functions.lit(2)) === 0), s"$dir/a.warc")
+    graft.sources.BinaryPages.writeWarcFile(
+      pages.filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("url")),
+        org.apache.spark.sql.functions.lit(2)) === 1), s"$dir/b.warc")
+    val back = graft.sources.BinaryPages.readWarcDir(spark, dir)
+    assert(back.count() === 60)
+    val got = back.select("url", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val want = pages.select("url", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.keySet === want.keySet)
+    // extraction through the WARC path is byte-identical per url
+    want.foreach { case (u, t) => assert(got(u) === t, s"url $u") }
+  }
+}
