@@ -78,6 +78,27 @@ object SparkEntry {
         .withColumn("rn", col("rn").cast("long"))
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     }),
+    // ---- semi join: orders with at least one high-value line ----
+    "q04_semi_join" -> ((s, dir) => {
+      val hot = t(s, dir, "lineitem")
+        .filter(col("l_extendedprice") > 4000.0)
+        .select(col("l_orderkey").as("o_orderkey"))
+      t(s, dir, "orders")
+        .join(hot, Seq("o_orderkey"), "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 4).as("sum_price"))
+    }),
+    // ---- anti join: customers with no big-ticket order ----
+    "q05_anti_join" -> ((s, dir) => {
+      val custs = t(s, dir, "customer")
+      val bigSpenders = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 250000.0)
+        .select(col("o_custkey").as("c_custkey"))
+      custs.join(bigSpenders, Seq("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_customers"))
+    }),
     // ---- geospatial: tile assignment (WebMercator, SQL-parity form) ----
     "q10_tile_assign" -> ((s, dir) => {
       val pts = derivedPoints(s, dir)
@@ -502,6 +523,21 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "q04_semi_join" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 4) AS sum_price
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_extendedprice > 4000.0)
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q05_anti_join" ->
+      """SELECT c_nationkey, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_totalprice > 250000.0)
+        |GROUP BY c_nationkey""".stripMargin,
     "q10_tile_assign" ->
       s"""WITH pts AS ($derivedPointsSql)
          |SELECT doc_id, round(lon, 6) AS lon_r, round(lat, 6) AS lat_r,
