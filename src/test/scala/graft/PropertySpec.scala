@@ -92,3 +92,40 @@ class PropertySpec extends AnyFunSuite {
     }, "jacobi-trace")
   }
 }
+
+class InvarianceSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("range join results are invariant to the bucket width (tuning knob, not semantics)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pts = (0 until 800).map(i =>
+      (i.toLong, (graft.core.Rng.uniform(41L, i, 1L) * 1e5).toLong)).toDF("id", "t")
+    val ivs = (0 until 120).map { i =>
+      val lo = (graft.core.Rng.uniform(42L, i, 1L) * 1e5).toLong
+      (i.toLong, lo, lo + (graft.core.Rng.uniform(42L, i, 2L) * 5000).toLong)
+    }.toDF("id", "lo", "hi")
+    def run(b: Long) = graft.operators.RangeJoin.pointInInterval(
+        pts, col("id"), col("t"), ivs, col("id"), col("lo"), col("hi"), b)
+      .select("interval_id", "point_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = run(1024)
+    assert(base.nonEmpty)
+    Seq(7L, 333L, 100000L).foreach(b => assert(run(b) === base, s"bucket $b"))
+  }
+
+  test("geohash bboxes nest: child bbox is inside the parent bbox") {
+    import graft.core.Geohash
+    (0 until 300).foreach { i =>
+      val lon = graft.core.Rng.uniform(43L, i, 1L) * 360.0 - 180.0
+      val lat = graft.core.Rng.uniform(43L, i, 2L) * 180.0 - 90.0
+      val gh = Geohash.encode(lon, lat, 8)
+      (2 to 8).foreach { p =>
+        val (clo, cla, chi, cha) = Geohash.decodeBbox(gh.take(p))
+        val (plo, pla, phi, pha) = Geohash.decodeBbox(gh.take(p - 1))
+        assert(clo >= plo && chi <= phi && cla >= pla && cha <= pha,
+          s"$gh at $p not nested")
+      }
+    }
+  }
+}
