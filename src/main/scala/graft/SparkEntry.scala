@@ -214,6 +214,14 @@ object SparkEntry {
       graft.operators.Dedup.ngramJaccardPairs(t(s, dir, "documents"),
         "text", "doc_id", n = 3, threshold = 0.25, blockCol = Some("source"))
     }),
+    // ---- benchmark decontamination: n-gram containment of every doc
+    //      against an eval subset (doc_id % 50 == 0) ----
+    "q54_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Dedup.decontaminate(
+        d, d.filter(pmod(col("doc_id"), lit(50)) === 0),
+        "text", "doc_id", n = 3, threshold = 0.2)
+    }),
     // ---- similarity: brute-force cosine top-k (oracle: double-cast SQL) ----
     "q27_ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -630,6 +638,27 @@ object SparkEntry {
          |  CAST(floor((1.0 - ln(tan(pi() / 4.0 + radians(lat) / 2.0)) / pi()) / 2.0 * 64.0) AS BIGINT) AS y,
          |  count(*) AS n_features
          |FROM pts GROUP BY 2, 3""".stripMargin,
+    "q54_decontaminate" ->
+      // same distinct-gram construction as q26; containment via semi join
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |      ELSE list_transform(range(1, len(t) - 1), i ->
+        |        concat(t[i], ' ', t[i+1], ' ', t[i+2])) END) AS g
+        |  FROM toks),
+        |ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+        |bset AS (SELECT DISTINCT gram FROM ex WHERE doc_id % 50 = 0),
+        |tot AS (SELECT doc_id, count(*) AS n_grams FROM ex GROUP BY doc_id),
+        |mat AS (SELECT doc_id, count(*) AS n_matched FROM ex
+        |        WHERE gram IN (SELECT gram FROM bset) GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_grams,
+        |  coalesce(m.n_matched, 0) AS n_matched,
+        |  round(coalesce(m.n_matched, 0) * 1.0 / t.n_grams, 6) AS contaminated_frac,
+        |  coalesce(m.n_matched, 0) * 1.0 / t.n_grams >= 0.2 AS is_contaminated
+        |FROM tot t LEFT JOIN mat m ON t.doc_id = m.doc_id""".stripMargin,
     "q26_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\s+') AS t

@@ -175,6 +175,34 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** Benchmark decontamination — the training-data step DISTINCT from
+    * self-dedup: score each document by the fraction of its distinct
+    * word n-grams that appear in ANY benchmark/eval document, and flag
+    * docs above the threshold for removal (they would leak eval data
+    * into training). Scale shape: the benchmark gram index is
+    * benchmark-sized (distinct grams — broadcast-ready for real eval
+    * sets); the corpus side explodes (id, gram) pairs only and LEFT SEMI
+    * joins — document text never rides the fan-out.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, textCol: String,
+                    idCol: String, n: Int = 3,
+                    threshold: Double = 0.5): DataFrame = {
+    val bGrams = benchmark
+      .select(explode(text.word_ngrams(col(textCol), n)).as("gram"))
+      .distinct()
+    val dGrams = docs.select(col(idCol).as("__id"),
+      explode(text.word_ngrams(col(textCol), n)).as("gram"))
+    val total = dGrams.groupBy("__id").agg(count(lit(1)).as("n_grams"))
+    val matched = dGrams.join(bGrams, Seq("gram"), "left_semi")
+      .groupBy("__id").agg(count(lit(1)).as("n_matched"))
+    total.join(matched, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_grams"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        round(coalesce(col("n_matched"), lit(0L)).cast("double")
+          / col("n_grams"), 6).as("contaminated_frac"))
+      .withColumn("is_contaminated", col("contaminated_frac") >= threshold)
+  }
+
   /** Connected components over a near-dup pair list — the step between
     * pair detection and "keep one canonical doc per duplicate family".
     * Min-label propagation in driver-coordinated supersteps (the standard

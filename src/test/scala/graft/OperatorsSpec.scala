@@ -427,3 +427,25 @@ class PcaSpec extends AnyFunSuite {
     assert(!proj.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 }
+
+class DecontaminateSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("contamination fractions: exact copy 1.0, disjoint 0.0, half-overlap in between") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),      // exact copy
+      (2L, "one two three four five six"),              // disjoint
+      (3L, "alpha beta gamma delta nine ten eleven"))   // partial overlap
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.decontaminate(docs, bench,
+        "text", "doc_id", n = 3, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out(1L) === ((1.0, true)))
+    assert(out(2L) === ((0.0, false)))
+    // doc 3: grams = 5 trigrams, matched = [alpha beta gamma, beta gamma delta] = 2/5
+    assert(out(3L) === ((0.4, false)))
+  }
+}
