@@ -213,6 +213,10 @@ object Dedup {
     * high-diameter graphs the alternating large-star/small-star variant
     * (Kiveris et al., "Connected Components in MapReduce and Beyond")
     * halves diameter per round; not needed for dedup topology.
+    * Production note: localCheckpoint stores blocks on executors — on a
+    * real cluster with preemptible executors, point
+    * spark.sparkContext.setCheckpointDir at durable storage and swap
+    * localCheckpoint→checkpoint to survive executor loss mid-iteration.
     *
     * Returns (id, cluster_id = min reachable id). Vertices not present in
     * `pairs` are singletons by definition — left-join the id universe and
