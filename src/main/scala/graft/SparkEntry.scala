@@ -487,8 +487,78 @@ object SparkEntry {
         .select(col("media_id"), col("kind"), col("width"), col("height"),
           col("out_width"), col("out_height"), size(col("sampled_frames"))
             .cast("long").as("n_sampled"))
+    }),
+    // ---- URL canonicalization dedup (crawl-side dedup key): synthesized
+    //      messy URLs (case noise, default/odd ports, tracking params,
+    //      fragments, trailing slashes) collapse to canonical keys; the
+    //      oracle re-derives the whole rule in SQL (regex split + list
+    //      filter/sort) ----
+    "q55_url_dedup" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.url.canonicalize(synthUrl(col("doc_id"))).as("url_canon"))
+        .groupBy("url_canon")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+    }),
+    // ---- corpus-wide paragraph-level dedup (CCNet shape): keep only the
+    //      globally-first occurrence of every paragraph, reassemble docs.
+    //      Paragraph granularity here: fixed 8-word chunks (the corpus
+    //      text is single-line word soup; real prose would split on
+    //      blank lines) ----
+    "q56_paragraph_dedup" -> ((s, dir) => {
+      val w = split(col("text"), " ")
+      val nChunks = floor((size(w) - lit(1)) / lit(8)).cast("int")
+      val paras = transform(sequence(lit(0), nChunks),
+        i => array_join(slice(w, i * lit(8) + lit(1), lit(8)), " "))
+      graft.operators.Dedup.paragraphDedup(
+        t(s, dir, "documents"), "doc_id", paras, sep = " ")
+    }),
+    // ---- per-domain governance rollup (blocklists / crawl budgets):
+    //      host extraction + per-host doc count and char volume ----
+    "q57_domain_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(graft.functions.url.host(synthUrl(col("doc_id"))).as("host"),
+          col("n_chars"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
     })
   )
+
+  /** Deterministic messy-URL synthesizer (mirrored verbatim in the DuckDB
+    * oracle): exercises every branch of the canonicalization rule —
+    * mixed-case scheme/host, www., default ports (:80/:443 → stripped),
+    * a non-default :8080 (→ kept), tracking params, unsorted params,
+    * trailing slash, fragment.
+    */
+  private def synthUrl(docId: Column): Column = concat(
+    lit("HTTP"),
+    when(pmod(docId, lit(2)) === 0, lit("S")).otherwise(lit("")),
+    lit("://"),
+    when(pmod(docId, lit(3)) === 0, lit("WWW.Example.COM"))
+      .when(pmod(docId, lit(3)) === 1, lit("news.example.com"))
+      .otherwise(lit("Blog.Example.org")),
+    when(pmod(docId, lit(8)) === 0, lit(":443"))
+      .when(pmod(docId, lit(8)) === 1, lit(":80"))
+      .when(pmod(docId, lit(8)) === 2, lit(":8080"))
+      .otherwise(lit("")),
+    lit("/Articles/item-"), pmod(docId, lit(25)).cast("string"),
+    when(pmod(docId, lit(5)) === 0, lit("/")).otherwise(lit("")),
+    when(pmod(docId, lit(2)) === 0,
+        concat(lit("?utm_source=feed&id="), pmod(docId, lit(10)).cast("string"),
+          lit("&b=2")))
+      .otherwise(concat(lit("?id="), pmod(docId, lit(10)).cast("string"))),
+    when(pmod(docId, lit(7)) === 0, lit("#section-2")).otherwise(lit("")))
+
+  /** The same synthesizer as DuckDB SQL (string-identical construction). */
+  private def synthUrlSql: String =
+    """'HTTP' || CASE WHEN doc_id % 2 = 0 THEN 'S' ELSE '' END || '://' ||
+      |      CASE doc_id % 3 WHEN 0 THEN 'WWW.Example.COM' WHEN 1 THEN 'news.example.com' ELSE 'Blog.Example.org' END ||
+      |      CASE doc_id % 8 WHEN 0 THEN ':443' WHEN 1 THEN ':80' WHEN 2 THEN ':8080' ELSE '' END ||
+      |      '/Articles/item-' || CAST(doc_id % 25 AS VARCHAR) ||
+      |      CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+      |      CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 10 AS VARCHAR) || '&b=2'
+      |           ELSE '?id=' || CAST(doc_id % 10 AS VARCHAR) END ||
+      |      CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END""".stripMargin
 
   /** Fixed kNN query points (mirrored as literals in the SQL oracle). */
   private val knnQueryPoints: Seq[(Long, Double, Double)] = Seq(
@@ -1079,7 +1149,63 @@ object SparkEntry {
         |  round(r.rec * 100.0, 6) AS rec_depth_percent,
         |  round(ci.lo * 100.0, 6) AS rec_lo_percent,
         |  round(ci.hi * 100.0, 6) AS rec_hi_percent
-        |FROM rec r JOIN ci USING (depth)""".stripMargin
+        |FROM rec r JOIN ci USING (depth)""".stripMargin,
+    "q55_url_dedup" ->
+      s"""WITH synth AS (
+        |  SELECT doc_id,
+        |      $synthUrlSql AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1)) AS hostport,
+        |    regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS path0,
+        |    regexp_extract(url, '^[A-Za-z]+://[^/?#]*[^?#]*\\?([^#]*)', 1) AS query0
+        |  FROM synth),
+        |norm AS (
+        |  SELECT doc_id, scheme,
+        |    regexp_replace(
+        |      CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+        |           WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+        |           ELSE hostport END,
+        |      '^www\\.', '') AS host,
+        |    CASE WHEN path0 = '' THEN '/'
+        |         WHEN length(path0) > 1 AND path0 LIKE '%/' THEN substr(path0, 1, length(path0) - 1)
+        |         ELSE path0 END AS path,
+        |    array_to_string(list_sort(list_filter(string_split(query0, '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS query
+        |  FROM parts)
+        |SELECT scheme || '://' || host || path ||
+        |    CASE WHEN query <> '' THEN '?' || query ELSE '' END AS url_canon,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM norm GROUP BY 1""".stripMargin,
+    "q56_paragraph_dedup" ->
+      """WITH paras AS (
+        |  SELECT doc_id, u.i AS pos,
+        |    array_to_string(w[u.i*8+1 : u.i*8+8], ' ') AS para
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+        |       unnest(generate_series(0, CAST(floor((len(w)-1)/8.0) AS BIGINT))) AS u(i)),
+        |ranked AS (
+        |  SELECT doc_id, pos, para,
+        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        |  FROM paras)
+        |SELECT doc_id, count(*) AS n_paras,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN para END, ' ' ORDER BY pos), '') AS text_dedup
+        |FROM ranked GROUP BY doc_id""".stripMargin,
+    "q57_domain_stats" ->
+      s"""WITH synth AS (
+        |  SELECT doc_id, n_chars,
+        |      $synthUrlSql AS url
+        |  FROM documents),
+        |hosts AS (
+        |  SELECT doc_id, n_chars,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1)),
+        |      ':[0-9]+$$', ''), '^www\\.', '') AS host
+        |  FROM synth)
+        |SELECT host, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM hosts GROUP BY host""".stripMargin
     // rows-only (custom 64-bit hash/LSH/MVT bytes — not SQL-expressible):
     // q15_cell_encode, q17_polygon_tiles, q18_vectorize, q23_fingerprint,
     // q24_minhash_pairs, q25_simhash_pairs, q28_embedding_pairs,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.text
@@ -249,5 +249,46 @@ object Dedup {
     }
     sym.unpersist()
     labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Corpus-wide paragraph-level dedup (the CCNet/RefinedWeb shape): a
+    * paragraph is kept iff its (doc_id, pos) is the globally FIRST
+    * occurrence of that paragraph (order: doc id, then position); later
+    * copies are removed and each document is reassembled from its
+    * surviving paragraphs.
+    *
+    * `paras` is an array<string> column deriving the paragraph list from
+    * the row (e.g. split(text, "\n\n") for real prose; the caller picks
+    * the granularity).
+    *
+    * Scale shape: explode → ONE hash-partitioned window over the 64-bit
+    * paragraph fingerprint decides keep/drop (no self-join, no global
+    * sort) → ONE groupBy(doc) reassembles. Both shuffles are inherent:
+    * the output is the rewritten corpus, so paragraph text must cross
+    * the wire exactly twice. Keep/drop keyed on fingerprint64(para), not
+    * the paragraph bytes — hot paragraphs hash-partition evenly and the
+    * shuffle key is 8 bytes (a 64-bit collision merges two distinct
+    * paragraphs; at 10^12 paragraphs the expected collision count ~0.03).
+    *
+    * Returns (idCol, n_paras, n_kept, text_dedup) — text_dedup joins the
+    * kept paragraphs in original order with `sep`.
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String, paras: Column,
+                     sep: String = "\n"): DataFrame = {
+    val exploded = docs.select(col(idCol), posexplode(paras).as(Seq("pos", "para")))
+      .withColumn("pfp", text.fingerprint64(col("para")))
+    val firstWin = Window.partitionBy("pfp").orderBy(col(idCol), col("pos"))
+    exploded
+      .withColumn("rn", row_number().over(firstWin))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("rn") === 1,
+              struct(col("pos"), col("para"))))),
+            x => x.getField("para")),
+          sep).as("text_dedup"))
   }
 }
