@@ -513,6 +513,12 @@ object SparkEntry {
       graft.operators.Dedup.paragraphDedup(
         t(s, dir, "documents"), "doc_id", paras, sep = " ")
     }),
+    // ---- Gopher quality gate (published thresholds; line-structure
+    //      rules n/a on single-line docs) ----
+    "q58_gopher_filters" -> ((s, dir) => {
+      graft.operators.TextAnalysis.gopherFilters(
+        t(s, dir, "documents"), "text", "doc_id", minWords = 30)
+    }),
     // ---- per-domain governance rollup (blocklists / crawl budgets):
     //      host extraction + per-host doc count and char volume ----
     "q57_domain_stats" -> ((s, dir) => {
@@ -1150,6 +1156,39 @@ object SparkEntry {
         |  round(ci.lo * 100.0, 6) AS rec_lo_percent,
         |  round(ci.hi * 100.0, 6) AS rec_hi_percent
         |FROM rec r JOIN ci USING (depth)""".stripMargin,
+    "q58_gopher_filters" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS tk,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS ltk
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(tk) END AS n,
+        |    tk, ltk,
+        |    list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS bg
+        |  FROM toks),
+        |agg AS (
+        |  SELECT doc_id, n,
+        |    round(CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |      ELSE list_sum(list_transform(tk, t -> length(t))) * 1.0 / len(tk) END, 6) AS mean_wl,
+        |    len(list_filter(ltk, t -> t IN ('the','a','an','and','or','of','to',
+        |      'in','is','it','on','for','with','as','by','at'))) AS nstop,
+        |    round(CASE WHEN n = 0 THEN 0.0 ELSE
+        |      list_max(list_transform(list_distinct(tk),
+        |        w -> len(list_filter(tk, t -> t = w)))) * 1.0 / n END, 6) AS top_word_frac,
+        |    round(CASE WHEN n < 2 THEN 0.0
+        |      ELSE 1.0 - len(list_distinct(bg)) * 1.0 / (n - 1) END, 6) AS dup_2gram_frac
+        |  FROM base)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_words, mean_wl,
+        |  CAST(nstop AS BIGINT) AS n_stop, top_word_frac, dup_2gram_frac,
+        |  (n >= 30 AND n <= 100000) AS flag_n_words,
+        |  (mean_wl >= 3.0 AND mean_wl <= 10.0) AS flag_word_len,
+        |  (nstop >= 2) AS flag_stopwords,
+        |  (top_word_frac <= 0.2 AND dup_2gram_frac <= 0.2) AS flag_repetition,
+        |  (n >= 30 AND n <= 100000 AND mean_wl >= 3.0 AND mean_wl <= 10.0
+        |    AND nstop >= 2 AND top_word_frac <= 0.2 AND dup_2gram_frac <= 0.2) AS keep
+        |FROM agg""".stripMargin,
     "q55_url_dedup" ->
       s"""WITH synth AS (
         |  SELECT doc_id,

@@ -134,6 +134,28 @@ object RepetitionKernel {
     new GenericArrayData(graft.core.TextStats.repetition(s.toString))
 }
 
+/** gopher_stats(text) → array<double>
+  * [n_words, mean_word_len, n_stopwords, top_word_frac, dup_2gram_frac] —
+  * every scalar the Gopher quality gate (Rae et al. 2021 §A1.1) needs, in
+  * ONE codegen'd token pass (the HOF-lambda formulation breaks whole-stage
+  * codegen into an interpreted Project and rescans the token array per
+  * metric).
+  */
+case class GopherStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "gopher_stats"
+  override protected def nullSafeEval(s: Any): Any =
+    GopherKernel.stats(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.GopherKernel.stats($s)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+object GopherKernel {
+  def stats(s: UTF8String): GenericArrayData =
+    new GenericArrayData(graft.core.TextStats.gopher(s.toString))
+}
+
 /** jaccard_shingles(a, b, n) → double: exact word-n-gram Jaccard. */
 case class JaccardShinglesExpr(left: Expression, right: Expression, n: Int)
     extends BinaryExpression {
@@ -161,6 +183,7 @@ object text {
   def extract_text(c: Column): Column = column(ExtractTextExpr(expression(c)))
   def word_ngrams(c: Column, n: Int): Column = column(WordNgramsExpr(expression(c), n))
   def repetition_stats(c: Column): Column = column(RepetitionStatsExpr(expression(c)))
+  def gopher_stats(c: Column): Column = column(GopherStatsExpr(expression(c)))
   def jaccard_shingles(a: Column, b: Column, n: Int): Column =
     column(JaccardShinglesExpr(expression(a), expression(b), n))
 }

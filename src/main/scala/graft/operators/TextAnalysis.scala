@@ -40,9 +40,10 @@ object TextAnalysis {
       .otherwise((length(text) - length(stripped)).cast("double") / length(text))
   }
 
-  /** Ratio of words that are English stopwords (fixed 16-word list). */
-  val stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to",
-    "in", "is", "it", "on", "for", "with", "as", "by", "at")
+  /** Ratio of words that are English stopwords (fixed 16-word list,
+    * shared with the single-pass gopher_stats kernel).
+    */
+  val stopwords: Seq[String] = graft.core.TextStats.stopwords
 
   def stopwordRatio(text: Column): Column = {
     val toks = split(lower(trim(text)), "\\s+")
@@ -166,5 +167,44 @@ object TextAnalysis {
         round(r.getItem(2), 6).as("dup_2gram_frac"),
         round(r.getItem(3), 6).as("top_word_frac"),
         round(r.getItem(4), 6).as("top_2gram_frac"))
+  }
+
+  /** Gopher-style document quality gate (Rae et al. 2021 §A1.1): the
+    * published word-count band, mean-word-length band, minimum-stopword
+    * and repetition-cap rules, composed into per-flag booleans and one
+    * `keep` verdict. The flags that need line structure (bullet/ellipsis
+    * ratios) don't apply to this corpus's single-line documents and are
+    * omitted — the thresholds kept are the published defaults.
+    *
+    * One codegen'd projection per document: ALL five metrics come from the
+    * single-pass gopher_stats expression (HOF lambdas would split codegen
+    * and rescan the token array per metric); nothing shuffles. Threshold
+    * comparisons are made on round(…,6) values so an external SQL
+    * recomputation (the oracle) lands on identical booleans.
+    */
+  def gopherFilters(df: org.apache.spark.sql.DataFrame, textCol: String,
+                    idCol: String,
+                    minWords: Int = 50, maxWords: Int = 100000,
+                    minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                    minStopwords: Int = 2, maxTopWordFrac: Double = 0.2,
+                    maxDup2gramFrac: Double = 0.2): org.apache.spark.sql.DataFrame = {
+    val r = graft.functions.text.gopher_stats(col(textCol))
+    df.select(col(idCol),
+        r.getItem(0).cast("long").as("n_words"),
+        round(r.getItem(1), 6).as("mean_wl"),
+        r.getItem(2).cast("long").as("n_stop"),
+        round(r.getItem(3), 6).as("top_word_frac"),
+        round(r.getItem(4), 6).as("dup_2gram_frac"))
+      .withColumn("flag_n_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("flag_word_len",
+        col("mean_wl") >= minMeanWordLen && col("mean_wl") <= maxMeanWordLen)
+      .withColumn("flag_stopwords", col("n_stop") >= minStopwords)
+      .withColumn("flag_repetition",
+        col("top_word_frac") <= maxTopWordFrac &&
+          col("dup_2gram_frac") <= maxDup2gramFrac)
+      .withColumn("keep",
+        col("flag_n_words") && col("flag_word_len") &&
+          col("flag_stopwords") && col("flag_repetition"))
   }
 }

@@ -186,6 +186,32 @@ class RepetitionSpec extends AnyFunSuite {
     val spammy = out.filter(col("dup_2gram_frac") > 0.5)
     assert(spammy.count() >= 0)
   }
+
+  test("gopher quality gate: each flag trips on its own violation only") {
+    import spark.implicits._
+    // diverse content words so no bigram or word repeats past the cap
+    val good = (1 to 40).map(i => s"alpha$i the beta$i of gamma$i").mkString(" ")
+    val docs = Seq(
+      (1L, good),                                  // passes everything
+      (2L, "too short to keep"),                   // n_words < 30
+      (3L, Seq.fill(40)("spam").mkString(" ")),    // repetition + stopwords
+      (4L, (1 to 40).map(i => "a" * 15 + i).mkString(" ")) // mean_wl > 10, no stopwords
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .gopherFilters(docs, "text", "doc_id", minWords = 30)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("flag_n_words") && !out(2L).getAs[Boolean]("keep"))
+    assert(!out(3L).getAs[Boolean]("flag_repetition") &&
+      !out(3L).getAs[Boolean]("flag_stopwords") && !out(3L).getAs[Boolean]("keep"))
+    assert(!out(4L).getAs[Boolean]("flag_word_len") &&
+      !out(4L).getAs[Boolean]("flag_stopwords") && out(4L).getAs[Boolean]("flag_n_words"))
+    // plan: one codegen'd projection over the input, no shuffle
+    val plan = graft.operators.TextAnalysis
+      .gopherFilters(spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && !plan.contains("Exchange"))
+  }
 }
 
 class ConnectedComponentsSpec extends AnyFunSuite {
