@@ -519,6 +519,23 @@ object SparkEntry {
       graft.operators.TextAnalysis.gopherFilters(
         t(s, dir, "documents"), "text", "doc_id", minWords = 30)
     }),
+    // ---- S2 cell-union compaction (S2CellUnion::Normalize): complete
+    //      sibling quadruples collapse to their parent, cascading to the
+    //      fixpoint. Input cells are synthesized with pure ID arithmetic
+    //      (face 2, level 12, position = doc_id — the hierarchy is prefix
+    //      structure, geography-independent) so the oracle replays the
+    //      whole cascade in SQL. 500 contiguous positions compact 12→8:
+    //      8 mixed-level cells out ----
+    "q59_cell_compact" -> ((s, dir) => {
+      val shift = 2 * (30 - 12) // level-12 marker bit position
+      val cells = t(s, dir, "documents").select(
+        shiftleft(lit(2L), 61)
+          .bitwiseOR(shiftleft(col("doc_id") % 1024, shift + 1))
+          .bitwiseOR(lit(1L << shift)).as("cell"))
+      val out = graft.operators.CellCompact.compact(cells, "cell")
+      out.select(col("cell"),
+        graft.operators.CellCompact.levelOf(col("cell")).cast("long").as("level"))
+    }),
     // ---- per-domain governance rollup (blocklists / crawl budgets):
     //      host extraction + per-host doc count and char volume ----
     "q57_domain_stats" -> ((s, dir) => {
@@ -565,6 +582,38 @@ object SparkEntry {
       |      CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 10 AS VARCHAR) || '&b=2'
       |           ELSE '?id=' || CAST(doc_id % 10 AS VARCHAR) END ||
       |      CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END""".stripMargin
+
+  /** Unrolled S2 compaction cascade for the q59 oracle: one CTE step per
+    * level from 12 down to 1 (complete sibling quadruples → parent; the
+    * same pure bit arithmetic as CellCompact, so DuckDB replays the
+    * operator exactly; steps at levels with no complete quads are no-ops).
+    */
+  private def compactCascadeSql: String = {
+    val steps = (12 to 1 by -1).zipWithIndex.map { case (l, i) =>
+      val lsb = 1L << (2 * (30 - l))
+      val nl = 4 * lsb
+      val prev = s"c$i"
+      val parent = s"((cell & ${-nl}) | $nl)"
+      s"""c${i + 1} AS MATERIALIZED (
+         |  SELECT cell FROM $prev WHERE (cell & -cell) <> $lsb
+         |  UNION ALL
+         |  SELECT $parent AS cell FROM $prev WHERE (cell & -cell) = $lsb
+         |    GROUP BY 1 HAVING count(*) = 4
+         |  UNION ALL
+         |  SELECT cell FROM $prev WHERE (cell & -cell) = $lsb
+         |    AND $parent NOT IN (
+         |      SELECT $parent FROM $prev WHERE (cell & -cell) = $lsb
+         |        GROUP BY 1 HAVING count(*) = 4))""".stripMargin
+    }
+    s"""WITH c0 AS MATERIALIZED (
+       |  SELECT DISTINCT ((CAST(2 AS BIGINT) << 61)
+       |    | ((doc_id % 1024) << 37) | (CAST(1 AS BIGINT) << 36)) AS cell
+       |  FROM documents),
+       |${steps.mkString(",\n")}
+       |SELECT cell,
+       |  30 - CAST(bit_count((cell & -cell) - 1) / 2 AS BIGINT) AS level
+       |FROM c${steps.size}""".stripMargin
+  }
 
   /** Fixed kNN query points (mirrored as literals in the SQL oracle). */
   private val knnQueryPoints: Seq[(Long, Double, Double)] = Seq(
@@ -1189,6 +1238,7 @@ object SparkEntry {
         |  (n >= 30 AND n <= 100000 AND mean_wl >= 3.0 AND mean_wl <= 10.0
         |    AND nstop >= 2 AND top_word_frac <= 0.2 AND dup_2gram_frac <= 0.2) AS keep
         |FROM agg""".stripMargin,
+    "q59_cell_compact" -> compactCascadeSql,
     "q55_url_dedup" ->
       s"""WITH synth AS (
         |  SELECT doc_id,

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** S2 cell-union compaction — `S2CellUnion::Normalize` semantics from the
+  * published S2 geometry library: in a set of cells, every complete
+  * quadruple of siblings is replaced by its parent, cascading upward until
+  * no complete quadruple remains. The workhorse for storing polygon /
+  * region covers compactly (a country cover of millions of fine cells
+  * compacts to thousands of mixed-level cells) and for shrinking the
+  * broadcast side of cover-based spatial joins.
+  *
+  * Everything here is pure 64-bit ID arithmetic on the canonical S2 cell
+  * layout (graft.core.S2: Hilbert position + lsb level marker) — level,
+  * parent, and child ids are shift/and/or expressions, so the whole
+  * operator stays inside whole-stage codegen and is replayable in ANSI
+  * SQL (the q59 oracle re-derives the full cascade with the same
+  * arithmetic).
+  *
+  * Scale shape: one superstep per cascade level (≤ 30, data-bounded by
+  * the deepest level present). Each superstep shuffles ONLY the 8-byte
+  * ids at the level being compacted, grouped by parent id — cells at
+  * other levels ride a filter, not the shuffle. Lineage is truncated
+  * every few supersteps (same production note as
+  * Dedup.connectedComponents: swap localCheckpoint for durable
+  * checkpoint on preemptible clusters).
+  */
+object CellCompact {
+  /** lsb(cell): the level-marker bit (sign-agnostic, works for face ≥ 4
+    * ids whose bit 63 is set).
+    */
+  private def lsbOf(c: Column): Column = c.bitwiseAND(-c)
+
+  /** S2 level (0–30) of a cell id: 30 − trailingZeros/2. */
+  def levelOf(c: Column): Column =
+    (lit(30) - (bit_count(lsbOf(c) - 1) / 2).cast("int")).cast("int")
+
+  /** Parent one level up: (id & −4·lsb) | 4·lsb (graft.core.S2.parentAtLevel). */
+  def parentOf(c: Column): Column = {
+    val nl = shiftleft(lsbOf(c), 2)
+    c.bitwiseAND(-nl).bitwiseOR(nl)
+  }
+
+  /** Compact a cell set: distinct input cells (any mix of levels), every
+    * complete sibling quadruple replaced by its parent, cascading to the
+    * fixpoint. `groupCols` scopes compaction (e.g. one cover per region
+    * id); sets in different groups never interact.
+    */
+  def compact(cells: DataFrame, cellCol: String,
+              groupCols: Seq[String] = Nil): DataFrame = {
+    val g = groupCols.map(col)
+    var cur = cells.select((g :+ col(cellCol).cast("long").as("cell")): _*)
+      .distinct()
+    // levels actually present: ≤31 values, driver metadata from one small
+    // agg. Cascades only move one level up, so the worklist is the present
+    // levels plus each compacted level's parent — levels with no cells
+    // never cost a superstep.
+    val worklist = scala.collection.mutable.SortedSet.empty[Int]
+    worklist ++= cur.select(levelOf(col("cell")).as("l")).distinct()
+      .collect().map(_.getInt(0)).filter(_ > 0)
+    while (worklist.nonEmpty) {
+      val l = worklist.max
+      worklist -= l
+      val isAtL = levelOf(col("cell")) === l
+      val atL = cur.filter(isAtL).withColumn("__parent", parentOf(col("cell")))
+      val rest = cur.filter(!isAtL)
+      // input is distinct, so count(*) per parent == distinct siblings
+      val complete = atL
+        .groupBy((g :+ col("__parent")): _*)
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") === 4)
+        .drop("__n")
+      val kept = atL
+        .join(complete, groupCols :+ "__parent", "left_anti")
+        .drop("__parent")
+      // truncate lineage EVERY superstep: the plan branches 3× per level
+      // (rest/kept/complete all re-reference `cur`), so without eager
+      // materialization recompute grows exponentially across the cascade.
+      // The materialized set is ids (+ group keys) only — bytes, not rows,
+      // are what localCheckpoint holds here.
+      val parents = complete.withColumnRenamed("__parent", "cell")
+        .select((g :+ col("cell")): _*)
+      cur = rest.unionByName(kept).unionByName(parents)
+        .localCheckpoint(true)
+      // new parents at l-1 may complete a quadruple there (one cheap
+      // action over the just-materialized set)
+      if (l > 1 && !cur.filter(levelOf(col("cell")) === l - 1).isEmpty)
+        worklist += (l - 1)
+    }
+    cur
+  }
+
+  /** Expand every cell to its descendants at `level` (inverse of compact
+    * for sets already at one level). Child k of a cell with marker lsb,
+    * at target marker lsbT: id − lsb + lsbT + 2k·lsbT, k ∈ [0, 4^Δ).
+    * Fan-out is 4^Δ per row — callers keep Δ small (a cover expand), the
+    * generator is a codegen'd explode, no shuffle.
+    */
+  def uncompact(cells: DataFrame, cellCol: String, level: Int,
+                groupCols: Seq[String] = Nil): DataFrame = {
+    require(level >= 0 && level <= 30, "level must be in [0,30]")
+    val g = groupCols.map(col)
+    val cc = col("__cell")
+    val lsbT = lit(1L << (2 * (30 - level)))
+    // 4^Δ = lsb(cell)/lsbT (exact: both powers of two); clamp too-deep
+    // rows to one child so the guard below fires instead of a giant
+    // descending sequence
+    val nKids = when(levelOf(cc) <= level,
+      (lsbOf(cc) / lsbT).cast("long")).otherwise(lit(1L))
+    val child = cc - lsbOf(cc) + lsbT + col("__k") * lsbT * 2
+    // a cell deeper than the target level has no descendants there — fail
+    // loudly (guard lives inside the output expression so pruning can't
+    // drop it; a too-deep cell makes the sequence run descending, and its
+    // rows land in the error branch)
+    val checked = when(levelOf(cc) <= level, child)
+      .otherwise(raise_error(
+        lit(s"uncompact: input cell deeper than target level $level")))
+    cells
+      .select((g :+ col(cellCol).cast("long").as("__cell")): _*)
+      .withColumn("__k", explode(sequence(lit(0L), nKids - 1)))
+      .select((g :+ checked.as(cellCol)): _*)
+  }
+}
