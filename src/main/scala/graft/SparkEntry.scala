@@ -536,6 +536,16 @@ object SparkEntry {
       out.select(col("cell"),
         graft.operators.CellCompact.levelOf(col("cell")).cast("long").as("level"))
     }),
+    // ---- bbox filter via geohash-cover pushdown (coarse OR-of-prefix
+    //      + exact refine — result provably equals the naive filter,
+    //      which is exactly what the oracle computes) ----
+    "q60_bbox_filter" -> ((s, dir) => {
+      val bbox = graft.operators.SpatialFilter.Bbox(-30.0, 10.0, 20.0, 50.0)
+      graft.operators.SpatialFilter
+        .bboxFilter(derivedPoints(s, dir), "lon", "lat", bbox)
+        .select(col("doc_id"), round(col("lon"), 6).as("lon_r"),
+          round(col("lat"), 6).as("lat_r"))
+    }),
     // ---- per-domain governance rollup (blocklists / crawl budgets):
     //      host extraction + per-host doc count and char volume ----
     "q57_domain_stats" -> ((s, dir) => {
@@ -1239,6 +1249,11 @@ object SparkEntry {
         |    AND nstop >= 2 AND top_word_frac <= 0.2 AND dup_2gram_frac <= 0.2) AS keep
         |FROM agg""".stripMargin,
     "q59_cell_compact" -> compactCascadeSql,
+    "q60_bbox_filter" ->
+      s"""WITH pts AS ($derivedPointsSql)
+        |SELECT doc_id, round(lon, 6) AS lon_r, round(lat, 6) AS lat_r
+        |FROM pts
+        |WHERE lon BETWEEN -30.0 AND 20.0 AND lat BETWEEN 10.0 AND 50.0""".stripMargin,
     "q55_url_dedup" ->
       s"""WITH synth AS (
         |  SELECT doc_id,
