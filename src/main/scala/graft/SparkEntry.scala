@@ -546,6 +546,33 @@ object SparkEntry {
         .select(col("doc_id"), round(col("lon"), 6).as("lon_r"),
           round(col("lat"), 6).as("lat_r"))
     }),
+    // ---- sequence packing (concat-and-chunk): context-window bin from
+    //      the exclusive token prefix sum, computed as a distributed
+    //      prefix sum (per-bucket windows + driver offset scan) instead
+    //      of a single-partition global window ----
+    "q61_seq_packing" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        graft.operators.TextAnalysis.tokenCount(col("text"))
+          .cast("long").as("n_tok"))
+      graft.operators.Packing.contiguousPack(docs, "doc_id", "n_tok",
+        capacity = 2048L)
+    }),
+    // ---- Getis-Ord G* hotspot z-scores over zoom-6 tile counts (the
+    //      "find the dense urban cells" analytic feeding skew handling):
+    //      bounded window explode → one hash agg on the shifted key →
+    //      key join back; global stats ride a 1-row broadcast ----
+    "q62_hotspot" -> ((s, dir) => {
+      val pts = derivedPoints(s, dir)
+      val tiles = pts.select(
+          floor((col("lon") + 180.0) / 360.0 * 64.0).cast("long").as("x6"),
+          floor((lit(1.0) - log(tan(lit(math.Pi / 4.0)
+            + radians(col("lat")) / 2.0)) / math.Pi) / 2.0 * 64.0)
+            .cast("long").as("y6"))
+        .groupBy("x6", "y6").agg(count(lit(1)).as("n"))
+      graft.operators.CellSmooth.gridHotspot(tiles, "x6", "y6", "n")
+        .select(col("x6"), col("y6"), col("n"),
+          col("ring_sum"), col("ring_n"), col("z"))
+    }),
     // ---- per-domain governance rollup (blocklists / crawl budgets):
     //      host extraction + per-host doc count and char volume ----
     "q57_domain_stats" -> ((s, dir) => {
@@ -1249,6 +1276,43 @@ object SparkEntry {
         |    AND nstop >= 2 AND top_word_frac <= 0.2 AND dup_2gram_frac <= 0.2) AS keep
         |FROM agg""".stripMargin,
     "q59_cell_compact" -> compactCascadeSql,
+    "q62_hotspot" ->
+      s"""WITH pts AS ($derivedPointsSql),
+        |cells AS (
+        |  SELECT CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT) AS x6,
+        |    CAST(floor((1.0 - ln(tan(pi() / 4.0 + radians(lat) / 2.0)) / pi()) / 2.0 * 64.0) AS BIGINT) AS y6,
+        |    count(*) AS n
+        |  FROM pts GROUP BY 1, 2),
+        |offs AS (
+        |  SELECT dx.d AS dx, dy.d AS dy
+        |  FROM (SELECT unnest(range(-1, 2)) AS d) dx,
+        |       (SELECT unnest(range(-1, 2)) AS d) dy),
+        |contrib AS (
+        |  SELECT c.x6 + o.dx AS x, c.y6 + o.dy AS y, c.n FROM cells c, offs o),
+        |sums AS (
+        |  SELECT x, y, CAST(sum(n) AS BIGINT) AS s, count(*) AS w
+        |  FROM contrib GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT avg(n * 1.0) AS mu, stddev_pop(n * 1.0) AS sd,
+        |    count(*) AS nn FROM cells)
+        |SELECT c.x6, c.y6, c.n, round(s * 1.0, 6) AS ring_sum, w AS ring_n,
+        |  round(CASE WHEN nn > 1 AND sd > 0
+        |    THEN (s - w * mu) / (sd * sqrt((nn * w * 1.0 - w * w) / (nn - 1)))
+        |    ELSE 0.0 END, 6) AS z
+        |FROM cells c
+        |JOIN sums ON c.x6 = sums.x AND c.y6 = sums.y
+        |CROSS JOIN stats""".stripMargin,
+    "q61_seq_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    / 2048.0) AS BIGINT) AS bin
+        |FROM d""".stripMargin,
     "q60_bbox_filter" ->
       s"""WITH pts AS ($derivedPointsSql)
         |SELECT doc_id, round(lon, 6) AS lon_r, round(lat, 6) AS lat_r

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Neighborhood smoothing and Getis-Ord G* hotspot scoring over cell
+  * grids — the standard "where are the dense urban cells" analytic that
+  * decides which tiles get salted/skew-handled downstream.
+  *
+  * Shape at scale: contributions are an explode of the (2r+1)² window
+  * offsets (bounded fan-out, codegen'd) followed by ONE hash aggregation
+  * on the shifted key and a key-partitioned join back — no window over a
+  * global order, no driver loop. Global mean/std ride a 1-row broadcast
+  * cross join. The hex variant reuses the same shape with `hex_kring`
+  * supplying the neighbor list.
+  *
+  * z-score uses the published Getis-Ord G* statistic with binary weights
+  * over the PRESENT cells: z_i = (S_i − W_i·x̄) / (s·√((N·W_i − W_i²)/(N−1)))
+  * where S_i / W_i are the value-sum / cell-count inside i's window and
+  * x̄, s, N are the global mean / population std / cell count.
+  */
+object CellSmooth {
+  /** cells(xCol, yCol, valCol) → + ring_sum, ring_n, z (round 6).
+    * Square (2r+1)² window including self; only present cells produce
+    * output rows (absent neighbors contribute nothing — sparse-grid
+    * semantics, no edge clipping needed).
+    */
+  def gridHotspot(cells: DataFrame, xCol: String, yCol: String,
+                  valCol: String, radius: Int = 1): DataFrame = {
+    require(radius >= 1)
+    val offsets = for { dx <- -radius to radius; dy <- -radius to radius }
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))
+    val contrib = cells.select(
+        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"),
+        col(valCol).cast("double").as("__v"))
+      .withColumn("__o", explode(array(offsets: _*)))
+      .select((col("__x") + col("__o.dx")).as("__x"),
+        (col("__y") + col("__o.dy")).as("__y"), col("__v"))
+    val sums = contrib.groupBy("__x", "__y")
+      .agg(sum("__v").as("ring_sum"), count(lit(1)).as("ring_n"))
+    val stats = cells.agg(
+      avg(col(valCol).cast("double")).as("__mu"),
+      stddev_pop(col(valCol).cast("double")).as("__sd"),
+      count(lit(1)).as("__N"))
+    val joined = cells
+      .join(sums, col(xCol).cast("long") === col("__x") &&
+        col(yCol).cast("long") === col("__y"))
+      .drop("__x", "__y")
+      .crossJoin(broadcast(stats))
+    val wd = col("ring_n").cast("double")
+    val denom = col("__sd") *
+      sqrt((col("__N") * wd - wd * wd) / (col("__N") - lit(1)))
+    joined
+      .withColumn("z", round(
+        when(col("__N") > 1 && col("__sd") > 0,
+          (col("ring_sum") - wd * col("__mu")) / denom)
+          .otherwise(lit(0.0)), 6))
+      .withColumn("ring_sum", round(col("ring_sum"), 6))
+      .drop("__mu", "__sd", "__N")
+  }
+
+  /** Hex-grid variant: same contribute→aggregate→join shape with the
+    * codegen'd kRing neighbor generator (window = all cells within ring
+    * distance k, including self).
+    */
+  def hexHotspot(cells: DataFrame, cellCol: String, valCol: String,
+                 k: Int = 1): DataFrame = {
+    require(k >= 1)
+    val contrib = cells.select(col(cellCol).cast("long").as("__c"),
+        col(valCol).cast("double").as("__v"))
+      .withColumn("__n", explode(KnnJoin.hex_kring(col("__c"), lit(k))))
+      .select(col("__n").as("__c"), col("__v"))
+    val sums = contrib.groupBy("__c")
+      .agg(sum("__v").as("ring_sum"), count(lit(1)).as("ring_n"))
+    val stats = cells.agg(
+      avg(col(valCol).cast("double")).as("__mu"),
+      stddev_pop(col(valCol).cast("double")).as("__sd"),
+      count(lit(1)).as("__N"))
+    val joined = cells
+      .join(sums, col(cellCol).cast("long") === col("__c")).drop("__c")
+      .crossJoin(broadcast(stats))
+    val wd = col("ring_n").cast("double")
+    val denom = col("__sd") *
+      sqrt((col("__N") * wd - wd * wd) / (col("__N") - lit(1)))
+    joined
+      .withColumn("z", round(
+        when(col("__N") > 1 && col("__sd") > 0,
+          (col("ring_sum") - wd * col("__mu")) / denom)
+          .otherwise(lit(0.0)), 6))
+      .withColumn("ring_sum", round(col("ring_sum"), 6))
+      .drop("__mu", "__sd", "__N")
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.HexGrid
+import graft.operators.CellSmooth
+
+class CellSmoothSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("grid hotspot matches a hand computation on a 3-cell line") {
+    import spark.implicits._
+    // cells (0,0)=10, (1,0)=20, (5,5)=1 — first two are mutual neighbors
+    val cells = Seq((0L, 0L, 10L), (1L, 0L, 20L), (5L, 5L, 1L))
+      .toDF("x", "y", "v")
+    val out = CellSmooth.gridHotspot(cells, "x", "y", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(3), r.getLong(4), r.getDouble(5))).toMap
+    val mu = 31.0 / 3.0
+    val sd = math.sqrt((Seq(10.0, 20.0, 1.0).map(v => (v - mu) * (v - mu)).sum) / 3.0)
+    def z(s: Double, w: Long): Double = {
+      val wd = w.toDouble
+      BigDecimal((s - wd * mu) / (sd * math.sqrt((3 * wd - wd * wd) / 2.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out((0L, 0L)) === ((30.0, 2L, z(30.0, 2L))))
+    assert(out((1L, 0L)) === ((30.0, 2L, z(30.0, 2L))))
+    assert(out((5L, 5L)) === ((1.0, 1L, z(1.0, 1L))))
+  }
+
+  test("hex hotspot ring sums match brute-force kRing membership") {
+    import spark.implicits._
+    val cells = (0 until 60).map { i =>
+      val lon = (i * 37) % 240 - 120.0
+      val lat = (i * 23) % 120 - 60.0
+      (HexGrid.cell(lon, lat, 5), (i % 7 + 1).toLong)
+    }.distinct.groupBy(_._1).map { case (c, vs) => (c, vs.head._2) }.toSeq
+    val df = cells.toDF("cell", "v")
+    val out = CellSmooth.hexHotspot(df, "cell", "v", k = 1)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getLong(3))).toMap
+    // brute force: neighbor iff within ring distance 1 (symmetric)
+    val m = cells.toMap
+    cells.foreach { case (c, _) =>
+      val ring = HexGrid.kRing(c, 1).toSet
+      val want = cells.filter { case (c2, _) => ring.contains(c2) }
+      assert(out(c)._1 === want.map(_._2.toDouble).sum, s"cell $c")
+      assert(out(c)._2 === want.size.toLong, s"cell $c")
+    }
+    assert(m.nonEmpty)
+  }
+
+  test("contribution aggregation is partial (map-side combine) and stats broadcast") {
+    import spark.implicits._
+    val df = (0 until 200).map(i => (i.toLong % 20, i.toLong % 13, 1L))
+      .distinct.toDF("x", "y", "v")
+    val plan = CellSmooth.gridHotspot(df, "x", "y", "v")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+  }
+}
