@@ -117,7 +117,9 @@ object Bench {
       "q31_window_agg", "q36_gauss_fit", "q37_huber_fit",
       "q40_injection_sweep", "q41_repetition", "q42_dedup_clusters",
       "q44_nearest_city", "q45_range_join", "q48_top_words",
-      "q49_pca_project", "q50_tfidf", "q51_multimodal")
+      "q49_pca_project", "q50_tfidf", "q51_multimodal",
+      "q58_gopher_filters", "q59_cell_compact", "q61_seq_packing",
+      "q62_hotspot")
     val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") == "1"
     // per-query shuffle-write MB: the plan-quality evidence (a payload
     // riding a fan-out is visible here regardless of wall clock)

@@ -573,6 +573,29 @@ object SparkEntry {
         .select(col("x6"), col("y6"), col("n"),
           col("ring_sum"), col("ring_n"), col("z"))
     }),
+    // ---- distributed quality classifier: logistic regression trained
+    //      on the Gopher metrics to predict the gate verdict. Newton
+    //      iterations are single passes aggregating (d+1)-dim gradient +
+    //      Hessian partials (the pcaTrain shape — zero shuffle); scoring
+    //      is a pure codegen'd projection. Labels are an AND of bands
+    //      (not linearly separable), so the optimum is finite and the
+    //      fixture partitioning-stable ----
+    "q63_quality_classifier" -> ((s, dir) => {
+      val feats = graft.operators.TextAnalysis.gopherFilters(
+          t(s, dir, "documents"), "text", "doc_id", minWords = 30)
+        .select(col("doc_id"),
+          (least(col("n_words"), lit(1000L)).cast("double") / 1000.0).as("f_n"),
+          col("mean_wl").as("f_wl"),
+          (least(col("n_stop"), lit(100L)).cast("double") / 100.0).as("f_stop"),
+          col("top_word_frac").as("f_top"),
+          col("keep").cast("long").as("y"))
+      val fs = Seq("f_n", "f_wl", "f_stop", "f_top")
+      val m = graft.operators.Classifier.logisticTrain(feats, fs, "y")
+      feats.select(col("doc_id"),
+        round(graft.operators.Classifier.logisticScore(m, fs), 4).as("score"),
+        (graft.operators.Classifier.logisticScore(m, fs) > 0.5).as("pred"),
+        (col("y") === 1).as("keep"))
+    }),
     // ---- per-domain governance rollup (blocklists / crawl budgets):
     //      host extraction + per-host doc count and char volume ----
     "q57_domain_stats" -> ((s, dir) => {

@@ -42,51 +42,49 @@ object CellCompact {
     c.bitwiseAND(-nl).bitwiseOR(nl)
   }
 
-  /** Compact a cell set: distinct input cells (any mix of levels), every
+  /** Compact a cell set: distinct, NON-OVERLAPPING input cells (any mix
+    * of levels — a cover, by construction non-overlapping), every
     * complete sibling quadruple replaced by its parent, cascading to the
     * fixpoint. `groupCols` scopes compaction (e.g. one cover per region
     * id); sets in different groups never interact.
+    *
+    * ALL levels compact in the same superstep: a parent id encodes its
+    * level in the lsb marker, so grouping every cell by `parentOf(cell)`
+    * can never collide across levels, and supersteps = cascade DEPTH
+    * (how many levels a completion chain climbs), not the number of
+    * distinct levels present. Each superstep is one hash aggregation +
+    * one anti join over 8-byte ids; the running set is eagerly
+    * localCheckpoint'ed — the plan branches 3× per step
+    * (kept/parents/level-0 all re-reference it), and lazy evaluation
+    * makes recompute exponential in the cascade depth.
     */
   def compact(cells: DataFrame, cellCol: String,
               groupCols: Seq[String] = Nil): DataFrame = {
     val g = groupCols.map(col)
     var cur = cells.select((g :+ col(cellCol).cast("long").as("cell")): _*)
-      .distinct()
-    // levels actually present: ≤31 values, driver metadata from one small
-    // agg. Cascades only move one level up, so the worklist is the present
-    // levels plus each compacted level's parent — levels with no cells
-    // never cost a superstep.
-    val worklist = scala.collection.mutable.SortedSet.empty[Int]
-    worklist ++= cur.select(levelOf(col("cell")).as("l")).distinct()
-      .collect().map(_.getInt(0)).filter(_ > 0)
-    while (worklist.nonEmpty) {
-      val l = worklist.max
-      worklist -= l
-      val isAtL = levelOf(col("cell")) === l
-      val atL = cur.filter(isAtL).withColumn("__parent", parentOf(col("cell")))
-      val rest = cur.filter(!isAtL)
+      .distinct().localCheckpoint(true)
+    var changed = true
+    while (changed) {
+      val splittable = cur.filter(levelOf(col("cell")) > 0)
+        .withColumn("__parent", parentOf(col("cell")))
+      val lvl0 = cur.filter(levelOf(col("cell")) === 0)
       // input is distinct, so count(*) per parent == distinct siblings
-      val complete = atL
+      val complete = splittable
         .groupBy((g :+ col("__parent")): _*)
         .agg(count(lit(1)).as("__n"))
         .filter(col("__n") === 4)
         .drop("__n")
-      val kept = atL
-        .join(complete, groupCols :+ "__parent", "left_anti")
-        .drop("__parent")
-      // truncate lineage EVERY superstep: the plan branches 3× per level
-      // (rest/kept/complete all re-reference `cur`), so without eager
-      // materialization recompute grows exponentially across the cascade.
-      // The materialized set is ids (+ group keys) only — bytes, not rows,
-      // are what localCheckpoint holds here.
-      val parents = complete.withColumnRenamed("__parent", "cell")
-        .select((g :+ col("cell")): _*)
-      cur = rest.unionByName(kept).unionByName(parents)
-        .localCheckpoint(true)
-      // new parents at l-1 may complete a quadruple there (one cheap
-      // action over the just-materialized set)
-      if (l > 1 && !cur.filter(levelOf(col("cell")) === l - 1).isEmpty)
-        worklist += (l - 1)
+        .localCheckpoint(true) // small: one row per completed quadruple
+      if (complete.isEmpty) changed = false
+      else {
+        val kept = splittable
+          .join(complete, groupCols :+ "__parent", "left_anti")
+          .drop("__parent")
+        val parents = complete.withColumnRenamed("__parent", "cell")
+          .select((g :+ col("cell")): _*)
+        cur = lvl0.unionByName(kept).unionByName(parents)
+          .localCheckpoint(true)
+      }
     }
     cur
   }

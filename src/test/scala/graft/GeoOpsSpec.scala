@@ -248,6 +248,47 @@ class StreamDedupSpec extends AnyFunSuite {
   }
 }
 
+class StatelessStreamSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("quality gate + bbox filter compose onto a stream unchanged (append mode)") {
+    import spark.implicits._
+    import graft.operators.{SpatialFilter, TextAnalysis}
+    val bbox = SpatialFilter.Bbox(-90, -45, 90, 45)
+    def pipeline(df: org.apache.spark.sql.DataFrame) = {
+      val inBox = SpatialFilter.bboxFilter(df, "lon", "lat", bbox)
+      TextAnalysis.gopherFilters(inBox, "text", "doc_id", minWords = 3)
+        .filter(col("flag_stopwords") && col("flag_repetition"))
+    }
+    val docs = (0 until 300).map { i =>
+      val lon = (i * 37) % 360 - 180.0
+      val lat = (i * 23) % 170 - 85.0
+      val text = if (i % 3 == 0) "the quick fox is here with friends today"
+      else if (i % 3 == 1) "spam spam spam spam"
+      else "one two"
+      (i.toLong, text, lon, lat)
+    }
+    val batchDf = docs.toDF("doc_id", "text", "lon", "lat")
+    val expected = pipeline(batchDf).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(expected.nonEmpty && expected.length < 300)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, String, Double, Double)]
+    val q = pipeline(input.toDF().toDF("doc_id", "text", "lon", "lat"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gatestream").start()
+    val (b1, b2) = docs.splitAt(docs.length / 3)
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    val got = spark.table("gatestream").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    q.stop()
+    assert(got === expected)
+  }
+}
+
 class CrossModalSpec extends AnyFunSuite {
   import SharedSpark._
 
