@@ -596,6 +596,20 @@ object SparkEntry {
         (graft.operators.Classifier.logisticScore(m, fs) > 0.5).as("pred"),
         (col("y") === 1).as("keep"))
     }),
+    // ---- incremental crawl dedup: admit new docs absent from the
+    //      standing corpus fingerprint table AND unique in-batch. The
+    //      corpus here is the doc_id%3==0 slice's fingerprints; the
+    //      oracle expresses the same admission by direct text comparison
+    //      (fingerprint64 is deterministic; 64-bit collisions on this
+    //      fixed corpus would be a one-in-2^35 event) ----
+    "q64_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 3 === 0)
+        .select(graft.functions.text.fingerprint64(col("text")).as("text_fp"))
+      graft.operators.Dedup.incrementalDedup(
+          docs.filter(col("doc_id") % 3 =!= 0), corpus, "text", "doc_id")
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+    }),
     // ---- per-domain governance rollup (blocklists / crawl budgets):
     //      host extraction + per-host doc count and char volume ----
     "q57_domain_stats" -> ((s, dir) => {
@@ -1299,6 +1313,17 @@ object SparkEntry {
         |    AND nstop >= 2 AND top_word_frac <= 0.2 AND dup_2gram_frac <= 0.2) AS keep
         |FROM agg""".stripMargin,
     "q59_cell_compact" -> compactCascadeSql,
+    "q64_incremental_dedup" ->
+      """WITH corpus AS (SELECT text FROM documents WHERE doc_id % 3 = 0),
+        |newdocs AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+        |novel AS (
+        |  SELECT * FROM newdocs
+        |  WHERE text NOT IN (SELECT text FROM corpus))
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM novel)
+        |WHERE rn = 1""".stripMargin,
     "q62_hotspot" ->
       s"""WITH pts AS ($derivedPointsSql),
         |cells AS (

@@ -26,6 +26,35 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** Incremental crawl dedup: admit only new documents whose text is (a)
+    * absent from the existing corpus — anti join on the 64-bit content
+    * fingerprint against the corpus fingerprint set, the thing a crawl
+    * pipeline keeps as a compact standing table — and (b) unique within
+    * the incoming batch (min-id keeper, consistent with `exact`). Returns
+    * the admitted rows of `incoming` unchanged.
+    *
+    * Scale shape: the corpus side is fingerprints only (8 bytes/doc — a
+    * 10¹²-doc corpus is ~8 TB of fps vs the corpus itself); the anti join
+    * shuffles (fp, id), never text, and the in-batch winnow is one
+    * fp-keyed window. Near-dup admission composes downstream (LSH bands
+    * of admitted docs vs the corpus band table — same join shape).
+    */
+  def incrementalDedup(incoming: DataFrame, corpusFps: DataFrame,
+                       textCol: String, idCol: String,
+                       fpCol: String = "text_fp"): DataFrame = {
+    val withFp = incoming
+      .withColumn("__fp", text.fingerprint64(col(textCol)))
+    val novel = withFp.join(
+      corpusFps.select(col(fpCol).cast("long").as("__fp")),
+      Seq("__fp"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__fp").orderBy(col(idCol).asc)
+    novel
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
   /** MinHash+LSH near-dup pairs: signature k, `bands` bands (k/bands rows
     * per band), word-`shingle`-grams. Returns (id_a, id_b, jaccard) with
     * id_a < id_b and exact-verified jaccard ≥ threshold.

@@ -110,6 +110,24 @@ class DedupSpec extends AnyFunSuite {
       assert(cos >= 0.35)
     }
   }
+
+  test("incremental dedup: corpus hits rejected, in-batch dups winnowed, novel kept") {
+    import spark.implicits._
+    val corpusTexts = Seq("already crawled page", "another known page")
+    val corpus = corpusTexts.toDF("text")
+      .select(graft.functions.text.fingerprint64(col("text")).as("text_fp"))
+    val incoming = Seq(
+      (10L, "already crawled page"), // in corpus → rejected
+      (11L, "fresh page one"),       // novel → admitted
+      (12L, "fresh page two"),       // novel, duplicated in batch
+      (13L, "fresh page two"),       //   → only min id admitted
+      (14L, "another known page")    // in corpus → rejected
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .incrementalDedup(incoming, corpus, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(11L, 12L))
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
