@@ -610,6 +610,15 @@ object SparkEntry {
           docs.filter(col("doc_id") % 3 =!= 0), corpus, "text", "doc_id")
         .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
     }),
+    // ---- exact duplicated-substring analysis (Lee et al. hash-window
+    //      form): per-doc duplicated 20-char-window count + exact char
+    //      coverage of their union. Oracle groups the substrings
+    //      themselves; Spark groups rolling hashes (collision odds on
+    //      this fixed corpus ~1e-8, and deterministic) ----
+    "q65_dup_spans" -> ((s, dir) => {
+      graft.operators.Dedup.duplicatedSpans(
+        t(s, dir, "documents"), "text", "doc_id", minLen = 20)
+    }),
     // ---- per-domain governance rollup (blocklists / crawl budgets):
     //      host extraction + per-host doc count and char volume ----
     "q57_domain_stats" -> ((s, dir) => {
@@ -1313,6 +1322,41 @@ object SparkEntry {
         |    AND nstop >= 2 AND top_word_frac <= 0.2 AND dup_2gram_frac <= 0.2) AS keep
         |FROM agg""".stripMargin,
     "q59_cell_compact" -> compactCascadeSql,
+    "q65_dup_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents),
+        |w AS MATERIALIZED (
+        |  SELECT doc_id, i.i AS pos, substr(text, i.i, 20) AS s
+        |  FROM d, LATERAL (SELECT unnest(range(1, n - 20 + 2)) AS i) i),
+        |dup AS MATERIALIZED (
+        |  SELECT s FROM w GROUP BY s HAVING count(*) >= 2),
+        |dw AS (
+        |  SELECT doc_id, pos FROM w WHERE s IN (SELECT s FROM dup)),
+        |marked AS (
+        |  SELECT doc_id, pos,
+        |    max(pos + 19) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM dw),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM marked),
+        |cov AS (
+        |  SELECT doc_id, island,
+        |    max(pos) + 19 - min(pos) + 1 AS len, count(*) AS nw
+        |  FROM isl GROUP BY 1, 2),
+        |per_doc AS (
+        |  SELECT doc_id, CAST(sum(len) AS BIGINT) AS dup_chars,
+        |    CAST(sum(nw) AS BIGINT) AS dup_windows
+        |  FROM cov GROUP BY 1)
+        |SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_chars,
+        |  CAST(greatest(d.n - 20 + 1, 0) AS BIGINT) AS n_windows,
+        |  coalesce(p.dup_windows, 0) AS dup_windows,
+        |  coalesce(p.dup_chars, 0) AS dup_chars,
+        |  round(CASE WHEN d.n = 0 THEN 0.0
+        |    ELSE coalesce(p.dup_chars, 0) * 1.0 / d.n END, 6) AS dup_char_frac
+        |FROM d LEFT JOIN per_doc p USING (doc_id)""".stripMargin,
     "q64_incremental_dedup" ->
       """WITH corpus AS (SELECT text FROM documents WHERE doc_id % 3 = 0),
         |newdocs AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),

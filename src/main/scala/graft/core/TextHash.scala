@@ -136,6 +136,34 @@ object TextHash {
     Array.tabulate(bands)(b => bandKey(sig, b, rpb))
   }
 
+  /** Polynomial rolling hashes of every length-`win` character window —
+    * ONE pass over the string (Rabin-Karp update: h·B + c entering,
+    * −c·B^(win−1) leaving), for exact-substring duplicate detection
+    * (Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+    * Better" — the hash-window approximation of the suffix-array method).
+    * Returns (length − win + 1) hashes; empty if the text is shorter.
+    */
+  def charWindowHashes(s: String, win: Int): Array[Long] = {
+    val n = s.length
+    if (win <= 0 || n < win) return Array.emptyLongArray
+    val B = 1000003L
+    var top = 1L // B^(win-1)
+    var i = 0
+    while (i < win - 1) { top *= B; i += 1 }
+    val out = new Array[Long](n - win + 1)
+    var h = 0L
+    i = 0
+    while (i < win) { h = h * B + s.charAt(i); i += 1 }
+    out(0) = h
+    i = win
+    while (i < n) {
+      h = (h - s.charAt(i - win) * top) * B + s.charAt(i)
+      out(i - win + 1) = h
+      i += 1
+    }
+    out
+  }
+
   /** Exact Jaccard similarity of word n-gram shingle sets. */
   def jaccardShingles(a: String, b: String, n: Int): Double = {
     val sa = shingleHashes(a, n).toSet

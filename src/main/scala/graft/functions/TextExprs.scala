@@ -156,6 +156,26 @@ object GopherKernel {
     new GenericArrayData(graft.core.TextStats.gopher(s.toString))
 }
 
+/** char_window_hashes(text, win) → array<bigint>: rolling hash of every
+  * length-`win` character window in one codegen'd pass (Rabin-Karp) —
+  * the fan-out key for exact-substring duplicate detection. Emitting
+  * 8-byte hashes instead of the substrings keeps the explode at ~8
+  * bytes/window instead of `win` bytes/window.
+  */
+case class CharWindowHashesExpr(child: Expression, win: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_window_hashes"
+  override protected def nullSafeEval(s: Any): Any =
+    new GenericArrayData(
+      graft.core.TextHash.charWindowHashes(s.asInstanceOf[UTF8String].toString, win))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.core.TextHash.charWindowHashes($s.toString(), $win))")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** jaccard_shingles(a, b, n) → double: exact word-n-gram Jaccard. */
 case class JaccardShinglesExpr(left: Expression, right: Expression, n: Int)
     extends BinaryExpression {
@@ -184,6 +204,8 @@ object text {
   def word_ngrams(c: Column, n: Int): Column = column(WordNgramsExpr(expression(c), n))
   def repetition_stats(c: Column): Column = column(RepetitionStatsExpr(expression(c)))
   def gopher_stats(c: Column): Column = column(GopherStatsExpr(expression(c)))
+  def char_window_hashes(c: Column, win: Int): Column =
+    column(CharWindowHashesExpr(expression(c), win))
   def jaccard_shingles(a: Column, b: Column, n: Int): Column =
     column(JaccardShinglesExpr(expression(a), expression(b), n))
 }

@@ -55,6 +55,58 @@ object Dedup {
       .drop("__fp", "__rn")
   }
 
+  /** Exact duplicated-substring analysis (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better" — the hash-window
+    * approximation of their suffix-array method): a length-`minLen` char
+    * window is DUPLICATED iff its content occurs at ≥ 2 (doc, pos)
+    * positions corpus-wide; per document we report the duplicated-window
+    * count and the exact character coverage of the union of duplicated
+    * windows (gaps-and-islands merge), the fraction used to drop or trim
+    * boilerplate-heavy docs.
+    *
+    * Scale shape: ONE codegen'd rolling-hash pass per doc emits 8-byte
+    * window hashes (never the substrings — the explode is ~8 bytes/char
+    * instead of minLen bytes/char); duplicate detection is a hash-keyed
+    * partial+final count; the island merge is a per-document window (keyed
+    * by doc id — no global order). Positions are UTF-16 code units, which
+    * equals SQL's code-point positions for BMP text (the corpus contract).
+    */
+  def duplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
+                      minLen: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = docs.select(col(idCol),
+        posexplode(text.char_window_hashes(col(textCol), minLen)))
+      .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("__h"))
+    val dup = wins.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select("__h")
+    val dupWins = wins.join(dup, Seq("__h"), "left_semi")
+    val wPrev = Window.partitionBy(idCol).orderBy(col("pos").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(idCol).orderBy(col("pos").asc)
+    val isl = dupWins
+      .withColumn("__prevEnd", max(col("pos") + lit(minLen - 1)).over(wPrev))
+      .withColumn("__new",
+        when(col("__prevEnd").isNull || col("pos") > col("__prevEnd"), 1)
+          .otherwise(0))
+      .withColumn("__island", sum(col("__new")).over(wRun))
+    val perDoc = isl.groupBy(col(idCol), col("__island"))
+      .agg((max(col("pos")) + lit(minLen - 1) - min(col("pos")) + 1)
+        .cast("long").as("__len"), count(lit(1)).as("__nw"))
+      .groupBy(idCol)
+      .agg(sum("__len").as("dup_chars"), sum("__nw").as("dup_windows"))
+    docs.select(col(idCol),
+        length(col(textCol)).cast("long").as("n_chars"),
+        greatest(length(col(textCol)) - lit(minLen) + 1, lit(0))
+          .cast("long").as("n_windows"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_chars"), col("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        round(when(col("n_chars") === 0, lit(0.0))
+          .otherwise(coalesce(col("dup_chars"), lit(0L)).cast("double")
+            / col("n_chars")), 6).as("dup_char_frac"))
+  }
+
   /** MinHash+LSH near-dup pairs: signature k, `bands` bands (k/bands rows
     * per band), word-`shingle`-grams. Returns (id_a, id_b, jaccard) with
     * id_a < id_b and exact-verified jaccard ≥ threshold.

@@ -128,6 +128,57 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got === Set(11L, 12L))
   }
+
+  test("rolling window hashes: one per position, equal iff substrings equal") {
+    val s = "abcabcabcXabcabcabc"
+    val h = graft.core.TextHash.charWindowHashes(s, 5)
+    assert(h.length === s.length - 5 + 1)
+    for (i <- h.indices; j <- h.indices)
+      assert((h(i) == h(j)) === (s.substring(i, i + 5) == s.substring(j, j + 5)),
+        s"positions $i,$j")
+    assert(graft.core.TextHash.charWindowHashes("abc", 5).isEmpty)
+    assert(graft.core.TextHash.charWindowHashes("", 5).isEmpty)
+  }
+
+  test("duplicated spans: coverage merges overlapping windows exactly") {
+    import spark.implicits._
+    // doc 1 and doc 2 share the 26-char block; doc 3 is all unique
+    val block = "the shared boilerplate text"
+    val docs = Seq(
+      (1L, s"unique-head-one $block unique-tail-one"),
+      (2L, s"different-head $block other-tail-here!"),
+      (3L, "completely original content with no duplication at all zzz")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .duplicatedSpans(docs, "text", "doc_id", minLen = 20)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // serial reference: exact duplicated-window set + interval union
+    val texts = Map(1L -> s"unique-head-one $block unique-tail-one",
+      2L -> s"different-head $block other-tail-here!",
+      3L -> "completely original content with no duplication at all zzz")
+    val all = texts.toSeq.flatMap { case (id, t) =>
+      (0 to t.length - 20).map(p => (t.substring(p, p + 20), id, p))
+    }
+    val dupSet = all.groupBy(_._1).filter(_._2.size >= 2).values.flatten.toSeq
+    texts.foreach { case (id, t) =>
+      val wins = dupSet.filter(_._2 == id).map(_._3).sorted
+      val (nw, chars) = (wins.size, {
+        var covered = 0; var end = -1
+        wins.foreach { p =>
+          val e = p + 19
+          if (p > end) { covered += 20; end = e }
+          else if (e > end) { covered += e - end; end = e }
+        }
+        covered
+      })
+      val (nChars, nWins, gotNw, gotChars) = out(id)
+      assert(nChars === t.length.toLong && nWins === (t.length - 19).toLong)
+      assert(gotNw === nw.toLong, s"doc $id windows")
+      assert(gotChars === chars.toLong, s"doc $id coverage")
+    }
+    assert(out(3L)._3 === 0L && out(3L)._4 === 0L)
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
