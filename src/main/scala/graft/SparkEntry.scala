@@ -619,6 +619,15 @@ object SparkEntry {
       graft.operators.Dedup.duplicatedSpans(
         t(s, dir, "documents"), "text", "doc_id", minLen = 20)
     }),
+    // ---- gap-based sessionization (batch counterpart of the streaming
+    //      mapGroupsWithState sessionizer): lag → boundary flag → running
+    //      sum, every window keyed by user — one shuffle, no global
+    //      order. RANGE-default cumulative sum makes tied timestamps
+    //      deterministic ----
+    "q66_sessionize" -> ((s, dir) => {
+      graft.operators.Sessions.sessionStats(
+        t(s, dir, "events"), "user_id", "ts", gapSec = 1800L)
+    }),
     // ---- per-domain governance rollup (blocklists / crawl budgets):
     //      host extraction + per-host doc count and char volume ----
     "q57_domain_stats" -> ((s, dir) => {
@@ -1322,6 +1331,24 @@ object SparkEntry {
         |    AND nstop >= 2 AND top_word_frac <= 0.2 AND dup_2gram_frac <= 0.2) AS keep
         |FROM agg""".stripMargin,
     "q59_cell_compact" -> compactCascadeSql,
+    "q66_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+        |      IS NULL OR epoch(ts) - lag(epoch(ts))
+        |        OVER (PARTITION BY user_id ORDER BY ts) > 1800
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |assigned AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events,
+        |  min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+        |  max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+        |FROM assigned
+        |GROUP BY 1, 2""".stripMargin,
     "q65_dup_spans" ->
       """WITH d AS (
         |  SELECT doc_id, text, length(text) AS n FROM documents),

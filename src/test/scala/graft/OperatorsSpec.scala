@@ -387,6 +387,31 @@ class SamplingSpec extends AnyFunSuite {
   }
 }
 
+class SessionsSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("gap sessionization: boundaries, per-user isolation, tied timestamps") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(10)), (1L, ts(2000)), (1L, ts(2100)),
+      (2L, ts(50)), (2L, ts(50)), (2L, ts(5000)),
+      (3L, ts(7))
+    ).toDF("user_id", "ts")
+    val out = graft.operators.Sessions
+      .sessionStats(ev, "user_id", "ts", gapSec = 1800L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out.keySet === Set((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L)))
+    assert(out((1L, 1L)) === ((2L, 0L, 10000000L, 10000000L)))
+    assert(out((1L, 2L)) === ((2L, 2000000000L, 2100000000L, 100000000L)))
+    // tied timestamps land in ONE session deterministically
+    assert(out((2L, 1L)) === ((2L, 50000000L, 50000000L, 0L)))
+    assert(out((2L, 2L))._1 === 1L)
+    assert(out((3L, 1L)) === ((1L, 7000000L, 7000000L, 0L)))
+  }
+}
+
 class RangeJoinSpec extends AnyFunSuite {
   import SharedSpark._
   import graft.operators.RangeJoin
