@@ -628,6 +628,14 @@ object SparkEntry {
       graft.operators.Sessions.sessionStats(
         t(s, dir, "events"), "user_id", "ts", gapSec = 1800L)
     }),
+    // ---- corpus-trained bigram-LM perplexity (the CCNet "KenLM
+    //      perplexity" quality signal): model = two hash aggregations;
+    //      scoring joins per-doc DISTINCT bigrams (weighted by count)
+    //      against the model tables ----
+    "q67_perplexity" -> ((s, dir) => {
+      graft.operators.LangModel.bigramPerplexity(
+        t(s, dir, "documents"), "text", "doc_id")
+    }),
     // ---- per-domain governance rollup (blocklists / crawl budgets):
     //      host extraction + per-host doc count and char volume ----
     "q57_domain_stats" -> ((s, dir) => {
@@ -1331,6 +1339,41 @@ object SparkEntry {
         |    AND nstop >= 2 AND top_word_frac <= 0.2 AND dup_2gram_frac <= 0.2) AS keep
         |FROM agg""".stripMargin,
     "q59_cell_compact" -> compactCascadeSql,
+    "q67_perplexity" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |      ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS t
+        |  FROM documents),
+        |uni AS MATERIALIZED (
+        |  SELECT w1, count(*) AS uc FROM (
+        |    SELECT unnest(t) AS w1 FROM base) GROUP BY 1),
+        |v AS (SELECT count(*) AS vocab FROM uni),
+        |bg AS MATERIALIZED (
+        |  SELECT doc_id, b.w1, b.w2 FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(t) < 2 THEN []
+        |      ELSE list_transform(range(1, len(t)),
+        |        i -> {'w1': t[i], 'w2': t[i+1]}) END) AS b
+        |    FROM base)),
+        |bic AS MATERIALIZED (
+        |  SELECT w1, w2, count(*) AS bc FROM bg GROUP BY 1, 2),
+        |per_doc AS (
+        |  SELECT doc_id, w1, w2, count(*) AS k FROM bg GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT p.doc_id, CAST(sum(p.k) AS BIGINT) AS n_bigrams,
+        |    sum(p.k * ln((bic.bc + 0.5) / (uni.uc + 0.5 * v.vocab))) AS slp
+        |  FROM per_doc p
+        |  JOIN bic ON p.w1 = bic.w1 AND p.w2 = bic.w2
+        |  JOIN uni ON p.w1 = uni.w1
+        |  CROSS JOIN v
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(s.n_bigrams, 0) AS n_bigrams,
+        |  round(CASE WHEN coalesce(s.n_bigrams, 0) = 0 THEN 0.0
+        |    ELSE s.slp / s.n_bigrams END, 6) AS avg_logprob,
+        |  round(CASE WHEN coalesce(s.n_bigrams, 0) = 0 THEN 0.0
+        |    ELSE exp(-(s.slp / s.n_bigrams)) END, 4) AS ppl
+        |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin,
     "q66_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, ts,

@@ -387,6 +387,45 @@ class SamplingSpec extends AnyFunSuite {
   }
 }
 
+class LangModelSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("bigram perplexity matches a serial reference model") {
+    import spark.implicits._
+    val texts = Map(1L -> "the cat sat on the mat",
+      2L -> "the cat ran", 3L -> "dog", 4L -> "")
+    val df = texts.toSeq.toDF("doc_id", "text")
+    val out = graft.operators.LangModel
+      .bigramPerplexity(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // serial reference
+    val tok = texts.view.mapValues(t =>
+      if (t.trim.isEmpty) Array.empty[String] else t.trim.toLowerCase.split("\\s+")).toMap
+    val unis = tok.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val v = unis.size
+    val bigs = tok.values.flatMap(ts => ts.sliding(2).filter(_.length == 2).map(a => (a(0), a(1))))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    texts.foreach { case (id, _) =>
+      val bgs = tok(id).sliding(2).filter(_.length == 2).map(a => (a(0), a(1))).toSeq
+      if (bgs.isEmpty) assert(out(id) === ((0L, 0.0, 0.0)), s"doc $id")
+      else {
+        val slp = bgs.map { case (w1, w2) =>
+          math.log((bigs((w1, w2)) + 0.5) / (unis(w1) + 0.5 * v))
+        }.sum
+        val avg = BigDecimal(slp / bgs.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(out(id)._1 === bgs.size.toLong, s"doc $id count")
+        assert(math.abs(out(id)._2 - avg) < 1e-9, s"doc $id avg")
+      }
+    }
+    // the repeated common bigram ("the cat") scores better than the
+    // singleton-vocab doc's absent bigrams would — doc 2 beats doc 1's
+    // longer mixed text in per-bigram probability? just sanity: finite
+    assert(out(1L)._3 > 1.0 && out(2L)._3 > 1.0)
+  }
+}
+
 class SessionsSpec extends AnyFunSuite {
   import SharedSpark._
 
