@@ -636,6 +636,14 @@ object SparkEntry {
       graft.operators.LangModel.bigramPerplexity(
         t(s, dir, "documents"), "text", "doc_id")
     }),
+    // ---- DSIR importance scoring: log-weight = avg bigram logprob
+    //      under the lang='en' target model minus under the corpus
+    //      model; selection by threshold (no global order) ----
+    "q68_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.LangModel.importanceWeights(
+        docs, docs.filter(col("lang") === "en"), "text", "doc_id")
+    }),
     // ---- per-domain governance rollup (blocklists / crawl budgets):
     //      host extraction + per-host doc count and char volume ----
     "q57_domain_stats" -> ((s, dir) => {
@@ -1339,6 +1347,58 @@ object SparkEntry {
         |    AND nstop >= 2 AND top_word_frac <= 0.2 AND dup_2gram_frac <= 0.2) AS keep
         |FROM agg""".stripMargin,
     "q59_cell_compact" -> compactCascadeSql,
+    "q68_dsir_weights" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |      ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS t
+        |  FROM documents),
+        |bg AS MATERIALIZED (
+        |  SELECT doc_id, lang, b.w1, b.w2 FROM (
+        |    SELECT doc_id, lang, unnest(CASE WHEN len(t) < 2 THEN []
+        |      ELSE list_transform(range(1, len(t)),
+        |        i -> {'w1': t[i], 'w2': t[i+1]}) END) AS b
+        |    FROM base)),
+        |uni_c AS MATERIALIZED (
+        |  SELECT w1, count(*) AS uc FROM (
+        |    SELECT unnest(t) AS w1 FROM base) GROUP BY 1),
+        |v_c AS (SELECT count(*) AS vocab FROM uni_c),
+        |bic_c AS MATERIALIZED (
+        |  SELECT w1, w2, count(*) AS bc FROM bg GROUP BY 1, 2),
+        |uni_t AS MATERIALIZED (
+        |  SELECT w1, count(*) AS uc FROM (
+        |    SELECT unnest(t) AS w1 FROM base WHERE lang = 'en') GROUP BY 1),
+        |v_t AS (SELECT count(*) AS vocab FROM uni_t),
+        |bic_t AS MATERIALIZED (
+        |  SELECT w1, w2, count(*) AS bc FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+        |per_doc AS MATERIALIZED (
+        |  SELECT doc_id, w1, w2, count(*) AS k FROM bg GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT p.doc_id,
+        |    CAST(sum(p.k) AS BIGINT) AS n_bigrams,
+        |    sum(p.k * ln((coalesce(bt.bc, 0) + 0.5)
+        |      / (coalesce(ut.uc, 0) + 0.5 * v_t.vocab))) AS slp_t,
+        |    sum(p.k * ln((coalesce(bc2.bc, 0) + 0.5)
+        |      / (coalesce(uc2.uc, 0) + 0.5 * v_c.vocab))) AS slp_c
+        |  FROM per_doc p
+        |  LEFT JOIN bic_t bt ON p.w1 = bt.w1 AND p.w2 = bt.w2
+        |  LEFT JOIN uni_t ut ON p.w1 = ut.w1
+        |  LEFT JOIN bic_c bc2 ON p.w1 = bc2.w1 AND p.w2 = bc2.w2
+        |  LEFT JOIN uni_c uc2 ON p.w1 = uc2.w1
+        |  CROSS JOIN v_t CROSS JOIN v_c
+        |  GROUP BY 1),
+        |rounded AS (
+        |  SELECT d.doc_id,
+        |    coalesce(s.n_bigrams, 0) AS n_bigrams,
+        |    round(CASE WHEN coalesce(s.n_bigrams, 0) = 0 THEN 0.0
+        |      ELSE s.slp_t / s.n_bigrams END, 6) AS lp_target,
+        |    round(CASE WHEN coalesce(s.n_bigrams, 0) = 0 THEN 0.0
+        |      ELSE s.slp_c / s.n_bigrams END, 6) AS lp_corpus
+        |  FROM documents d LEFT JOIN sc s USING (doc_id))
+        |SELECT doc_id, n_bigrams, lp_target, lp_corpus,
+        |  round(lp_target - lp_corpus, 6) AS log_weight,
+        |  (round(lp_target - lp_corpus, 6) >= 0) AS selected
+        |FROM rounded""".stripMargin,
     "q67_perplexity" ->
       """WITH base AS (
         |  SELECT doc_id,

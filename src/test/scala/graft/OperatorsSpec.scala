@@ -424,6 +424,29 @@ class LangModelSpec extends AnyFunSuite {
     // longer mixed text in per-bigram probability? just sanity: finite
     assert(out(1L)._3 > 1.0 && out(2L)._3 > 1.0)
   }
+
+  test("DSIR weights: unseen-bigram floor and target-domain preference") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha beta", "en"), // target-like
+      (2L, "alpha beta alpha beta", "en"),
+      (3L, "gamma delta gamma delta gamma", "de"),    // corpus-only style
+      (4L, "gamma delta gamma delta", "de"),
+      (5L, "omega sigma", "fr")                       // unseen by target
+    ).toDF("doc_id", "text", "lang")
+    val out = graft.operators.LangModel.importanceWeights(
+        docs, docs.filter(col("lang") === "en"), "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getBoolean(5))).toMap
+    // target-like docs selected; corpus-only style rejected
+    assert(out(1L)._3 && out(2L)._3)
+    assert(!out(3L)._3 && !out(4L)._3)
+    // doc 5's bigram is unseen by the target model: lp_target must be the
+    // smoothed floor ln(0.5 / (0.5 * Vt)) with Vt = 2 ({alpha, beta})
+    val floor = BigDecimal(math.log(0.5 / (0.5 * 2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out(5L)._1 - floor) < 1e-9, s"${out(5L)}")
+  }
 }
 
 class SessionsSpec extends AnyFunSuite {
