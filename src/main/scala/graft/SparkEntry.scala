@@ -644,6 +644,23 @@ object SparkEntry {
       graft.operators.LangModel.importanceWeights(
         docs, docs.filter(col("lang") === "en"), "text", "doc_id")
     }),
+    // ---- polygon geometry stats: shoelace area, area-weighted centroid,
+    //      perimeter, orientation — one codegen'd ring_stats pass per
+    //      polygon row (vertex-order summation so the SQL lead-window
+    //      recomputation reproduces the floats) ----
+    "q69_polygon_stats" -> ((s, dir) => {
+      import s.implicits._
+      val df = graft.sources.AdminPolygons.all
+        .map(p => (p.adminId, p.name, p.xs.toSeq, p.ys.toSeq))
+        .toDF("admin_id", "name", "xs", "ys")
+      val r = graft.functions.geo.ring_stats(col("xs"), col("ys"))
+      df.select(col("admin_id"), col("name"),
+        round(abs(r.getItem(0)), 6).as("area"),
+        round(r.getItem(1), 6).as("cx"),
+        round(r.getItem(2), 6).as("cy"),
+        round(r.getItem(3), 6).as("perimeter"),
+        (r.getItem(0) > 0).as("is_ccw"))
+    }),
     // ---- per-domain governance rollup (blocklists / crawl budgets):
     //      host extraction + per-host doc count and char volume ----
     "q57_domain_stats" -> ((s, dir) => {
@@ -722,6 +739,17 @@ object SparkEntry {
        |  30 - CAST(bit_count((cell & -cell) - 1) / 2 AS BIGINT) AS level
        |FROM c${steps.size}""".stripMargin
   }
+
+  /** Admin-polygon vertices as SQL literals (registry constants, like the
+    * kNN query points): one row per (polygon, vertex index).
+    */
+  private def polygonVerticesSql: String =
+    graft.sources.AdminPolygons.all.flatMap { p =>
+      val nm = p.name.replace("'", "''")
+      p.xs.indices.map { i =>
+        s"(${p.adminId}, '$nm', $i, ${p.xs(i)}, ${p.ys(i)})"
+      }
+    }.mkString(",\n    ")
 
   /** Fixed kNN query points (mirrored as literals in the SQL oracle). */
   private val knnQueryPoints: Seq[(Long, Double, Double)] = Seq(
@@ -1347,6 +1375,31 @@ object SparkEntry {
         |    AND nstop >= 2 AND top_word_frac <= 0.2 AND dup_2gram_frac <= 0.2) AS keep
         |FROM agg""".stripMargin,
     "q59_cell_compact" -> compactCascadeSql,
+    "q69_polygon_stats" ->
+      s"""WITH v(admin_id, name, i, x, y) AS (VALUES
+        |    $polygonVerticesSql),
+    |vd AS (
+        |  SELECT CAST(admin_id AS BIGINT) AS admin_id, name, i,
+        |    CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y FROM v),
+        |seg AS (
+        |  SELECT admin_id, name, x, y,
+        |    lead(x) OVER (PARTITION BY admin_id ORDER BY i) AS nx,
+        |    lead(y) OVER (PARTITION BY admin_id ORDER BY i) AS ny
+        |  FROM vd),
+        |s AS (
+        |  SELECT admin_id, name,
+        |    sum(x * ny - nx * y) AS twoa,
+        |    sum((x + nx) * (x * ny - nx * y)) AS sx,
+        |    sum((y + ny) * (x * ny - nx * y)) AS sy,
+        |    sum(sqrt((nx - x) * (nx - x) + (ny - y) * (ny - y))) AS per
+        |  FROM seg WHERE nx IS NOT NULL GROUP BY 1, 2)
+        |SELECT admin_id, name,
+        |  round(abs(twoa / 2), 6) AS area,
+        |  round(sx / (3 * twoa), 6) AS cx,
+        |  round(sy / (3 * twoa), 6) AS cy,
+        |  round(per, 6) AS perimeter,
+        |  (twoa > 0) AS is_ccw
+        |FROM s""".stripMargin,
     "q68_dsir_weights" ->
       """WITH base AS (
         |  SELECT doc_id, lang,

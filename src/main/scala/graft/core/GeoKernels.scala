@@ -87,4 +87,41 @@ object GeoKernels {
     }
     Array(bestId, bestD)
   }
+
+  /** One-pass ring geometry: [signed_area, centroid_x, centroid_y,
+    * perimeter] of a CLOSED ring (last vertex == first). Shoelace area,
+    * area-weighted centroid, Euclidean perimeter — planar (lon/lat plane,
+    * matching the synthetic registry's planar semantics). Degenerate
+    * (zero-area) rings fall back to the vertex mean for the centroid.
+    * Summation is in vertex order so an external SQL recomputation (lead
+    * window over the same vertex list) reproduces the floats exactly.
+    */
+  def ringStats(xs: Array[Double], ys: Array[Double]): Array[Double] = {
+    val n = math.min(xs.length, ys.length)
+    if (n < 2) return Array(0.0, if (n == 1) xs(0) else 0.0,
+      if (n == 1) ys(0) else 0.0, 0.0)
+    var twoA = 0.0
+    var sx = 0.0
+    var sy = 0.0
+    var per = 0.0
+    var i = 0
+    while (i < n - 1) {
+      val cross = xs(i) * ys(i + 1) - xs(i + 1) * ys(i)
+      twoA += cross
+      sx += (xs(i) + xs(i + 1)) * cross
+      sy += (ys(i) + ys(i + 1)) * cross
+      val dx = xs(i + 1) - xs(i)
+      val dy = ys(i + 1) - ys(i)
+      per += math.sqrt(dx * dx + dy * dy)
+      i += 1
+    }
+    if (twoA == 0.0) {
+      var mx = 0.0; var my = 0.0
+      i = 0
+      while (i < n - 1) { mx += xs(i); my += ys(i); i += 1 }
+      Array(0.0, mx / (n - 1), my / (n - 1), per)
+    } else {
+      Array(twoA / 2.0, sx / (3.0 * twoA), sy / (3.0 * twoA), per)
+    }
+  }
 }

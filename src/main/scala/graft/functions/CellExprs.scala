@@ -103,6 +103,27 @@ case class GeohashExpr(first: Expression, second: Expression, third: Expression)
 }
 
 /** Column-level API + SQL registration. */
+/** ring_stats(xs, ys) → array<double> [signed_area, centroid_x,
+  * centroid_y, perimeter] — one codegen'd pass over a closed ring's
+  * vertex arrays (shoelace + area-weighted centroid + perimeter).
+  */
+case class RingStatsExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "ring_stats"
+  override protected def nullSafeEval(xs: Any, ys: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.core.GeoKernels.ringStats(
+        xs.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray(),
+        ys.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (xs, ys) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.core.GeoKernels.ringStats($xs.toDoubleArray(), $ys.toDoubleArray()))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object geo {
   import org.apache.spark.sql.GraftBridge.{column, expression}
 
@@ -115,6 +136,8 @@ object geo {
   def hex_wkt(cell: Column): Column = column(HexWktExpr(expression(cell)))
   def geohash(lon: Column, lat: Column, precision: Column): Column =
     column(GeohashExpr(expression(lon), expression(lat), expression(precision)))
+  def ring_stats(xs: Column, ys: Column): Column =
+    column(RingStatsExpr(expression(xs), expression(ys)))
 
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

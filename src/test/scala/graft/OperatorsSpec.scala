@@ -387,6 +387,37 @@ class SamplingSpec extends AnyFunSuite {
   }
 }
 
+class RingStatsSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("ring stats: hand shapes and JTS parity on the registry polygons") {
+    import graft.core.GeoKernels.ringStats
+    // unit square, CCW, closed
+    val sq = ringStats(Array(0, 1, 1, 0, 0.0), Array(0, 0, 1, 1, 0.0))
+    assert(sq(0) === 1.0 && sq(1) === 0.5 && sq(2) === 0.5 && sq(3) === 4.0)
+    // same square traversed CW → negative signed area
+    val cw = ringStats(Array(0, 0, 1, 1, 0.0), Array(0, 1, 1, 0, 0.0))
+    assert(cw(0) === -1.0)
+    // degenerate: a line has zero area, vertex-mean centroid
+    val ln = ringStats(Array(0, 2, 0.0), Array(0, 0, 0.0))
+    assert(ln(0) === 0.0 && ln(1) === 1.0 && ln(3) === 4.0)
+    // JTS parity over every registry polygon
+    val gf = new org.locationtech.jts.geom.GeometryFactory()
+    graft.sources.AdminPolygons.all.foreach { p =>
+      val coords = p.xs.indices.map(i =>
+        new org.locationtech.jts.geom.Coordinate(p.xs(i), p.ys(i))).toArray
+      val poly = gf.createPolygon(coords)
+      val r = ringStats(p.xs, p.ys)
+      assert(math.abs(math.abs(r(0)) - poly.getArea) < 1e-9, s"${p.name} area")
+      val c = poly.getCentroid
+      assert(math.abs(r(1) - c.getX) < 1e-9 && math.abs(r(2) - c.getY) < 1e-9,
+        s"${p.name} centroid")
+      assert(math.abs(r(3) - poly.getExteriorRing.getLength) < 1e-9,
+        s"${p.name} perimeter")
+    }
+  }
+}
+
 class LangModelSpec extends AnyFunSuite {
   import SharedSpark._
 
