@@ -41,11 +41,72 @@ object Lineage {
   def nextSnapshotId(root: String): Long =
     committedSnapshots(root).lastOption.getOrElse(0L) + 1L
 
+  /** Snapshot ids superseded by a later compaction commit (their data is
+    * duplicated inside the compacted snapshot and must not be read).
+    */
+  def replacedSnapshots(root: String): Set[Long] = {
+    val dir = manifestDir(root)
+    if (!Files.isDirectory(dir)) return Set.empty
+    val re = """"replaces":\s*\[([0-9,\s]*)\]""".r
+    committedSnapshots(root).flatMap { id =>
+      val txt = Files.readString(dir.resolve(s"snap-$id.json"))
+      re.findFirstMatchIn(txt).toSeq.flatMap(_.group(1).split(",")
+        .map(_.trim).filter(_.nonEmpty).map(_.toLong))
+    }.toSet
+  }
+
+  /** Committed snapshots that are still readable (not compacted away). */
+  def activeSnapshots(root: String): Seq[Long] =
+    committedSnapshots(root).filterNot(replacedSnapshots(root))
+
+  /** Rewrite all active snapshots into ONE (Iceberg's rewrite_data_files
+    * + the visibility half of expire_snapshots): the compacted manifest's
+    * atomic rename is the flip — it lists the snapshots it `replaces`, and
+    * every reader (`completedTileIds`, `metricsTable`, resume) skips
+    * replaced snapshots, so a crash at ANY point leaves a consistent view
+    * (before the rename: old snapshots; after: only the compacted one).
+    * Physical deletion is a separate, idempotent `expireSnapshots` pass.
+    * Returns None when there is nothing to compact.
+    */
+  def compactSnapshots(spark: SparkSession, root: String,
+                       note: String = "compaction"): Option[Snapshot] = {
+    val active = activeSnapshots(root)
+    if (active.size < 2) return None
+    val df = spark.read.parquet(active.map(s => s"$root/data/snap-$s"): _*)
+    Some(commit(df, root, note, replaces = active))
+  }
+
+  /** Physically delete replaced snapshots' data, metrics and manifests.
+    * Safe and idempotent any time after a compaction commit. Returns the
+    * ids removed.
+    */
+  def expireSnapshots(root: String): Seq[Long] = {
+    val dead = replacedSnapshots(root).intersect(committedSnapshots(root).toSet)
+      .toSeq.sorted
+    dead.foreach { id =>
+      deleteRecursively(Paths.get(root, "data", s"snap-$id"))
+      deleteRecursively(Paths.get(root, "metrics", s"snap-$id"))
+      Files.deleteIfExists(manifestDir(root).resolve(s"snap-$id.json"))
+    }
+    dead
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.exists(p)) {
+      val it = Files.walk(p).sorted(java.util.Comparator.reverseOrder()).iterator()
+      while (it.hasNext) Files.deleteIfExists(it.next())
+    }
+  }
+
   /** Commit a tiles DataFrame (must carry `tile_id`, `byte_len`) as a new
     * snapshot. Steps: write data parquet → write per-partition metrics →
     * atomically rename the manifest into place (the commit point).
     */
-  def commit(tilesWithStats: DataFrame, root: String, note: String): Snapshot = {
+  def commit(tilesWithStats: DataFrame, root: String, note: String): Snapshot =
+    commit(tilesWithStats, root, note, replaces = Nil)
+
+  def commit(tilesWithStats: DataFrame, root: String, note: String,
+             replaces: Seq[Long]): Snapshot = {
     val spark = tilesWithStats.sparkSession
     val snapId = nextSnapshotId(root)
     val dataPath = s"$root/data/snap-$snapId"
@@ -82,6 +143,7 @@ object Lineage {
          | "data_path": ${jsonStr(dataPath)},
          | "metrics_path": ${jsonStr(metricsPath)},
          | "row_count": $rows, "bytes": $bytes,
+         | "replaces": [${replaces.mkString(", ")}],
          | "parent": ${committedSnapshots(root).lastOption.getOrElse(0L)}}"""
         .stripMargin
     val tmp = Files.createTempFile(manifestDir(root), s".snap-$snapId", ".tmp")
@@ -94,9 +156,12 @@ object Lineage {
   private def jsonStr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
-  /** All tile_ids across committed snapshots (the resume anti-join side). */
+  /** All tile_ids across ACTIVE snapshots (the resume anti-join side;
+    * compacted-away snapshots are invisible — their tiles live in the
+    * compacted snapshot).
+    */
   def completedTileIds(spark: SparkSession, root: String): DataFrame = {
-    val snaps = committedSnapshots(root)
+    val snaps = activeSnapshots(root)
     if (snaps.isEmpty)
       return spark.range(0).select(col("id").as("tile_id"))
     val paths = snaps.map(s => s"$root/data/snap-$s")
@@ -134,9 +199,9 @@ object Lineage {
       java.nio.file.StandardOpenOption.APPEND)
   }
 
-  /** Combined metrics table across committed snapshots. */
+  /** Combined metrics table across active snapshots. */
   def metricsTable(spark: SparkSession, root: String): DataFrame = {
-    val snaps = committedSnapshots(root)
+    val snaps = activeSnapshots(root)
     if (snaps.isEmpty)
       spark.emptyDataFrame
     else

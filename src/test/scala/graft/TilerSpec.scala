@@ -194,6 +194,45 @@ class LineageSpec extends AnyFunSuite {
       "row_count", "bytes", "snapshot_id"))
     assert(m.agg(sum("row_count")).head.getLong(0) === gotIds.size.toLong)
   }
+
+  test("compaction: atomic replace visibility, expiry, and resume continuity") {
+    import graft.plans.Lineage
+    val root = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    Main.run(spark, root, nPages = 200, zooms = Seq(4), resume = false)
+    Main.run(spark, root, nPages = 200, zooms = Seq(4, 6), resume = true)
+    val before = Lineage.completedTileIds(spark, root)
+      .collect().map(_.getLong(0)).toSet
+    val beforeRows = Lineage.metricsTable(spark, root)
+      .agg(sum("row_count")).head.getLong(0)
+
+    val snap = Lineage.compactSnapshots(spark, root).get
+    // CRASH-WINDOW VIEW: old manifests still on disk, but readers must
+    // already see ONLY the compacted snapshot (no double counting)
+    assert(Lineage.committedSnapshots(root) === Seq(1L, 2L, 3L))
+    assert(Lineage.activeSnapshots(root) === Seq(3L))
+    val after = Lineage.completedTileIds(spark, root)
+      .collect().map(_.getLong(0)).toSet
+    assert(after === before, "tile set must be identical after compaction")
+    assert(Lineage.metricsTable(spark, root)
+      .agg(sum("row_count")).head.getLong(0) === beforeRows)
+    assert(snap.rows === beforeRows)
+
+    // physical expiry removes the replaced snapshots only
+    assert(Lineage.expireSnapshots(root) === Seq(1L, 2L))
+    assert(Lineage.committedSnapshots(root) === Seq(3L))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "data", "snap-1")))
+    assert(Lineage.expireSnapshots(root).isEmpty) // idempotent
+
+    // resume against the compacted root still re-encodes nothing old
+    Main.run(spark, root, nPages = 200, zooms = Seq(4, 6, 8), resume = true)
+    val s4 = spark.read.parquet(s"$root/data/snap-4")
+      .select("tile_id").collect().map(_.getLong(0)).toSet
+    assert(s4.intersect(after).isEmpty, "resume must only add new tiles")
+    // nothing more to compact twice in a row → second compact then None
+    assert(Lineage.compactSnapshots(spark, root).nonEmpty) // snap-3 + snap-4
+    assert(Lineage.compactSnapshots(spark, root).isEmpty)
+  }
 }
 
 class PyramidTilerSpec extends AnyFunSuite {
