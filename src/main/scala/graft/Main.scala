@@ -102,6 +102,22 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = {
+    // table maintenance mode: rewrite active snapshots into one and
+    // physically expire the replaced ones — no pipeline run
+    if (args.contains("--compact")) {
+      val outDir = args.filterNot(_.startsWith("--")).headOption
+        .getOrElse("/tmp/graft-tiles")
+      val spark = session()
+      graft.plans.Lineage.compactSnapshots(spark, outDir) match {
+        case Some(s) =>
+          val expired = graft.plans.Lineage.expireSnapshots(outDir)
+          println(s"compacted into snapshot ${s.id} rows=${s.rows} " +
+            s"bytes=${s.bytes}; expired snapshots ${expired.mkString(",")}")
+        case None => println("nothing to compact (fewer than 2 active snapshots)")
+      }
+      spark.stop()
+      return
+    }
     val cfg = parseArgs(args)
     val spark = session()
     val t0 = System.nanoTime()
