@@ -289,6 +289,41 @@ class StatelessStreamSpec extends AnyFunSuite {
   }
 }
 
+class StreamEnrichSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("stream-static PIP enrichment equals batch (broadcast R-tree on a stream)") {
+    import spark.implicits._
+    // deterministic points, some inside admin polygons
+    val pts = (0 until 400).map { i =>
+      val lon = ((i * 2654435761L) % 3600).toDouble / 10.0 - 180.0
+      val lat = ((i * 40503L) % 1700).toDouble / 10.0 - 85.0
+      (i.toLong, lon, lat)
+    }
+    val batch = graft.operators.SpatialJoin
+      .pipJoinRtree(pts.toDF("id", "lon", "lat"))
+      .select("id", "admin_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(batch.nonEmpty)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, Double, Double)]
+    val q = graft.operators.SpatialJoin
+      .pipJoinRtree(input.toDF().toDF("id", "lon", "lat"))
+      .select("id", "admin_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pipstream").start()
+    val (b1, b2) = pts.splitAt(pts.length / 2)
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    val got = spark.table("pipstream")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    q.stop()
+    assert(got === batch)
+  }
+}
+
 class CrossModalSpec extends AnyFunSuite {
   import SharedSpark._
 

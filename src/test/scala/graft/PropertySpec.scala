@@ -31,6 +31,61 @@ class PropertySpec extends AnyFunSuite {
     }, "repetition")
   }
 
+  test("rolling window hashes agree with per-substring recomputation") {
+    val ch = Gen.oneOf('a', 'b', ' ', 'x', 'é')
+    val strG = Gen.listOf(ch).map(_.mkString)
+    val winG = Gen.choose(1, 8)
+    holds(forAll(strG, winG) { (s, w) =>
+      val h = graft.core.TextHash.charWindowHashes(s, w)
+      val expectLen = math.max(0, s.length - w + 1)
+      h.length == expectLen && h.indices.forall { i =>
+        // recompute window i from scratch: identical (no drift in the
+        // rolling update), and equal windows hash equal
+        val direct = graft.core.TextHash.charWindowHashes(s.substring(i, i + w), w)
+        direct.length == 1 && direct(0) == h(i)
+      }
+    }, "charWindowHashes")
+  }
+
+  test("ring stats match JTS on random closed convex-ish rings") {
+    val gf = new org.locationtech.jts.geom.GeometryFactory()
+    val nG = Gen.choose(3, 12)
+    val seedG = Gen.choose(0L, Long.MaxValue)
+    holds(forAll(nG, seedG) { (n, seed) =>
+      // star polygon: angles sorted → simple (non-self-intersecting) ring
+      val xs = new Array[Double](n + 1)
+      val ys = new Array[Double](n + 1)
+      var k = 0
+      while (k < n) {
+        val ang = 2 * math.Pi * k / n
+        val r = 1.0 + graft.core.Rng.uniform(seed, k.toLong, 1L) * 4.0
+        xs(k) = 10.0 + r * math.cos(ang)
+        ys(k) = -5.0 + r * math.sin(ang)
+        k += 1
+      }
+      xs(n) = xs(0); ys(n) = ys(0)
+      val st = graft.core.GeoKernels.ringStats(xs, ys)
+      val poly = gf.createPolygon(
+        xs.indices.map(i => new org.locationtech.jts.geom.Coordinate(xs(i), ys(i))).toArray)
+      val c = poly.getCentroid
+      math.abs(math.abs(st(0)) - poly.getArea) < 1e-9 &&
+        math.abs(st(1) - c.getX) < 1e-9 && math.abs(st(2) - c.getY) < 1e-9 &&
+        math.abs(st(3) - poly.getExteriorRing.getLength) < 1e-9
+    }, "ringStats-jts")
+  }
+
+  test("gopher kernel agrees with the independent repetition kernel") {
+    val word = Gen.oneOf("the", "cat", "dog", "a", "bb", "xyz")
+    val text = Gen.listOf(word).map(_.mkString(" "))
+    holds(forAll(text) { t =>
+      val g = graft.core.TextStats.gopher(t)
+      val r = graft.core.TextStats.repetition(t)
+      g(0) == r(0) && g(3) == r(3) && g(4) == r(2) &&
+        // stopword count bounded by word count; mean length positive iff words
+        g(2) >= 0 && g(2) <= g(0) && ((g(0) == 0) == (g(1) == 0.0))
+    }, "gopher-vs-repetition")
+  }
+
   test("haversine is a symmetric pseudo-metric bounded by half circumference") {
     val lon = Gen.choose(-180.0, 180.0)
     val lat = Gen.choose(-85.0, 85.0)
