@@ -76,6 +76,28 @@ object Lineage {
     Some(commit(df, root, note, replaces = active))
   }
 
+  /** Time travel: the table as of snapshot `asOf` — every snapshot
+    * committed up to that id, minus those replaced by a compaction that
+    * had itself committed by `asOf` (a later compaction doesn't rewrite
+    * history). Returns the data DataFrame; empty if nothing qualifies or
+    * expiry already deleted the files.
+    */
+  def tableAt(spark: SparkSession, root: String, asOf: Long): DataFrame = {
+    val dir = manifestDir(root)
+    val re = """"replaces":\s*\[([0-9,\s]*)\]""".r
+    val replacedByThen: Set[Long] = committedSnapshots(root)
+      .filter(_ <= asOf).flatMap { id =>
+        val txt = Files.readString(dir.resolve(s"snap-$id.json"))
+        re.findFirstMatchIn(txt).toSeq.flatMap(_.group(1).split(",")
+          .map(_.trim).filter(_.nonEmpty).map(_.toLong))
+      }.toSet
+    val snaps = committedSnapshots(root)
+      .filter(id => id <= asOf && !replacedByThen(id))
+      .filter(id => Files.isDirectory(Paths.get(root, "data", s"snap-$id")))
+    if (snaps.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(snaps.map(s => s"$root/data/snap-$s"): _*)
+  }
+
   /** Physically delete replaced snapshots' data, metrics and manifests.
     * Safe and idempotent any time after a compaction commit. Returns the
     * ids removed.

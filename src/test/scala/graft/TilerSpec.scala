@@ -229,6 +229,16 @@ class LineageSpec extends AnyFunSuite {
     val s4 = spark.read.parquet(s"$root/data/snap-4")
       .select("tile_id").collect().map(_.getLong(0)).toSet
     assert(s4.intersect(after).isEmpty, "resume must only add new tiles")
+    // time travel: as-of snap-3 sees exactly the compacted set; as-of
+    // snap-4 adds the new zoom (expired pre-compaction ids read empty
+    // rather than failing)
+    val at3 = Lineage.tableAt(spark, root, 3L)
+      .select("tile_id").collect().map(_.getLong(0)).toSet
+    assert(at3 === after)
+    val at4 = Lineage.tableAt(spark, root, 4L)
+      .select("tile_id").collect().map(_.getLong(0)).toSet
+    assert(at4 === after ++ s4)
+
     // nothing more to compact twice in a row → second compact then None
     assert(Lineage.compactSnapshots(spark, root).nonEmpty) // snap-3 + snap-4
     assert(Lineage.compactSnapshots(spark, root).isEmpty)
