@@ -669,6 +669,22 @@ object SparkEntry {
           col("n_chars"))
         .groupBy("host")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+    }),
+    // ---- per-domain unique-URL counting via HLL sketches (the scale
+    //      answer to COUNT(DISTINCT): fixed-size mergeable sketches,
+    //      map-side partials, no per-key value shuffle). Exact distinct
+    //      rides along for the accuracy report; the fixture pins the
+    //      deterministic sketch estimates ----
+    "q70_hll_distinct" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(graft.functions.url.host(synthUrl(col("doc_id"))).as("host"),
+          synthUrl(col("doc_id")).as("url"))
+        .groupBy("host")
+        .agg(approx_count_distinct(col("url"), 0.02).as("approx_urls"),
+          countDistinct(col("url")).as("exact_urls"))
+        .withColumn("rel_err", round(
+          abs(col("approx_urls") - col("exact_urls")).cast("double")
+            / col("exact_urls"), 6))
     })
   )
 

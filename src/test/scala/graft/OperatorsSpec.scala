@@ -387,6 +387,33 @@ class SamplingSpec extends AnyFunSuite {
   }
 }
 
+class HllSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("approx distinct: <2% error at rsd=0.02, sketch-only plan when exact is dropped") {
+    spark.catalog.clearCache()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select((col("doc_id") % 7).as("grp"),
+        concat(lit("u"), col("doc_id") % 311).as("u"))
+    val both = docs.groupBy("grp")
+      .agg(approx_count_distinct(col("u"), 0.02).as("a"),
+        countDistinct(col("u")).as("e"))
+      .collect()
+    both.foreach { r =>
+      val (a, e) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(a - e).toDouble / e < 0.02, s"grp ${r.get(0)}: $a vs $e")
+    }
+    // the sketch-only aggregation: partial+final HashAggregate, and no
+    // Expand (exact countDistinct would add one) — the shuffle carries
+    // fixed-size sketches, not per-key value sets
+    val plan = docs.groupBy("grp")
+      .agg(approx_count_distinct(col("u"), 0.02).as("a"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_approx_count_distinct"), plan)
+    assert(!plan.contains("Expand"), plan)
+  }
+}
+
 class RingStatsSpec extends AnyFunSuite {
   import SharedSpark._
 
