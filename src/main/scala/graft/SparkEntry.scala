@@ -670,6 +670,43 @@ object SparkEntry {
         .groupBy("host")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
     }),
+    // ---- C4-style text normalization (control-char fold + whitespace
+    //      collapse + trim) over deterministically-injected noise; the
+    //      canonical pass before dedup keys ----
+    "q71_normalize" -> ((s, dir) => {
+      val messy = concat(lit("\t "),
+        when(col("doc_id") % 5 === 0,
+          regexp_replace(col("text"), " ", "  ")).otherwise(col("text")),
+        when(col("doc_id") % 2 === 0, lit("\r\n tail  end")).otherwise(lit(" ")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), messy.as("messy"))
+        .select(col("doc_id"),
+          length(col("messy")).cast("long").as("n_raw"),
+          graft.operators.TextAnalysis.normalizeText(col("messy")).as("norm"))
+        .withColumn("n_norm", length(col("norm")).cast("long"))
+    }),
+    // ---- trailing time-window anomaly score: per event, the 1-hour
+    //      RANGE window over event time (peers included) gives count /
+    //      mean / population std; z flags outliers. Partitioned by
+    //      event_type — at planetary volume a hot type gets sub-salted
+    //      by time bucket with one-window overlap (same decomposition
+    //      as the range join) ----
+    "q72_window_anomaly" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ts = col("ts").cast("timestamp")
+      val w = Window.partitionBy("event_type")
+        .orderBy(unix_micros(ts))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      t(s, dir, "events")
+        .withColumn("n_window", count(lit(1)).over(w))
+        .withColumn("__mu", avg(col("value")).over(w))
+        .withColumn("__sd", stddev_pop(col("value")).over(w))
+        .select(col("event_id"), col("event_type"), col("n_window"),
+          round(col("__mu"), 6).as("win_mean"),
+          round(when(col("__sd") > 0,
+            (col("value") - col("__mu")) / col("__sd"))
+            .otherwise(lit(0.0)), 6).as("z"))
+    }),
     // ---- per-domain unique-URL counting via HLL sketches (the scale
     //      answer to COUNT(DISTINCT): fixed-size mergeable sketches,
     //      map-side partials, no per-key value shuffle). Exact distinct
@@ -1391,6 +1428,34 @@ object SparkEntry {
         |    AND nstop >= 2 AND top_word_frac <= 0.2 AND dup_2gram_frac <= 0.2) AS keep
         |FROM agg""".stripMargin,
     "q59_cell_compact" -> compactCascadeSql,
+    "q72_window_anomaly" ->
+      """WITH w AS (
+        |  SELECT event_id, event_type, value,
+        |    count(*) OVER tw AS n_window,
+        |    avg(value) OVER tw AS mu,
+        |    stddev_pop(value) OVER tw AS sd
+        |  FROM events
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, event_type, n_window,
+        |  round(mu, 6) AS win_mean,
+        |  round(CASE WHEN sd > 0 THEN (value - mu) / sd ELSE 0.0 END, 6) AS z
+        |FROM w""".stripMargin,
+    "q71_normalize" ->
+      """WITH messy AS (
+        |  SELECT doc_id,
+        |    chr(9) || ' ' ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN regexp_replace(text, ' ', '  ', 'g') ELSE text END ||
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN chr(13) || chr(10) || ' tail  end' ELSE ' ' END AS m
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(m) AS BIGINT) AS n_raw,
+        |  trim(regexp_replace(regexp_replace(m,
+        |    '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS norm,
+        |  CAST(length(trim(regexp_replace(regexp_replace(m,
+        |    '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS n_norm
+        |FROM messy""".stripMargin,
     "q69_polygon_stats" ->
       s"""WITH v(admin_id, name, i, x, y) AS (VALUES
         |    $polygonVerticesSql),

@@ -169,6 +169,17 @@ object TextAnalysis {
         round(r.getItem(4), 6).as("top_2gram_frac"))
   }
 
+  /** C4-style text normalization: strip control characters (keep \t\n
+    * only long enough to fold them), collapse every whitespace run to a
+    * single space, trim. Pure regexp columns, lookahead-free so the SQL
+    * oracle applies the identical passes; the canonical preprocessing
+    * before fingerprinting/dedup keys so byte-level noise (CRLF, tabs,
+    * double spaces) can't split a duplicate family.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x1f\\x7f]", " "), "\\s+", " "))
+
   /** Gopher-style document quality gate (Rae et al. 2021 §A1.1): the
     * published word-count band, mean-word-length band, minimum-stopword
     * and repetition-cap rules, composed into per-flag booleans and one
