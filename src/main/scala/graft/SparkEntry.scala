@@ -259,7 +259,11 @@ object SparkEntry {
     // ---- event-time tumbling-window aggregation (same code path serves
     //      Structured Streaming — graft.streaming.EventStream) ----
     "q31_window_agg" -> ((s, dir) => {
+      // epoch micros instead of a timestamp column: parquet writes ts as
+      // int96/us while pandas reads ns — micros are unit-exact everywhere
       graft.streaming.EventStream.windowedCounts(t(s, dir, "events"))
+        .withColumn("win_start",
+          unix_micros(col("win_start").cast("timestamp")))
     }),
     // ---- rasterize: per-tile pixel-grid counts (oracle: SQL binning) ----
     "q16_rasterize" -> ((s, dir) => {
@@ -1027,7 +1031,7 @@ object SparkEntry {
         |  FROM lb JOIN r USING (b)
         |  WHERE abs(l_us - r_us) <= 600000000) WHERE rn = 1""".stripMargin,
     "q31_window_agg" ->
-      """SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
+      """SELECT epoch_us(time_bucket(INTERVAL '10 minutes', ts)) AS win_start,
         |  event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q16_rasterize" ->
