@@ -289,6 +289,52 @@ class StatelessStreamSpec extends AnyFunSuite {
   }
 }
 
+class StreamHotspotSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("foreachBatch hotspot refresh over streaming tile counts matches batch") {
+    import spark.implicits._
+    val pages = graft.sources.SynthPages.pagesDF(spark, 500)
+    val mask = (1L << 29) - 1
+    def withXY(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("x", shiftrightunsigned(col("tile_id"), 29).bitwiseAND(mask))
+      .withColumn("y", col("tile_id").bitwiseAND(mask))
+      .groupBy("x", "y").agg(sum("n_mentions").as("n"))
+    // batch reference: tile counts → hotspot scores
+    val batchCounts = withXY(graft.streaming.EventStream.tileCounts(pages))
+    val expected = graft.operators.CellSmooth
+      .gridHotspot(batchCounts, "x", "y", "n")
+      .select("x", "y", "z").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(expected.nonEmpty)
+
+    // streaming: complete-mode tile counts; each batch refreshes the
+    // hotspot table from the full aggregate state (the standard
+    // foreachBatch pattern for analytics that need global stats)
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (String, java.sql.Timestamp, String)]
+    @volatile var latest: Map[(Long, Long), Double] = Map.empty
+    val q = graft.streaming.EventStream
+      .tileCounts(input.toDF().toDF("url", "warc_ts", "text"))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        latest = graft.operators.CellSmooth
+          .gridHotspot(withXY(batch.toDF()), "x", "y", "n")
+          .select("x", "y", "z").collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      }
+      .start()
+    val rows = pages.select(col("url"), col("warc_ts"), col("text"))
+      .as[(String, java.sql.Timestamp, String)].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    input.addData(b1.toSeq); q.processAllAvailable()
+    input.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+    assert(latest === expected)
+  }
+}
+
 class StreamEnrichSpec extends AnyFunSuite {
   import SharedSpark._
 
