@@ -159,7 +159,8 @@ object SpatialJoin {
     points
       .withColumn("admin_id", explode_outer(hits))
       .join(broadcast(names), Seq("admin_id"), "left")
-      .select((inCols.map(col) :+ col("admin_id") :+ col("admin_name")): _*)
+      .select((inCols.toIndexedSeq.map(col) :+ col("admin_id")
+        :+ col("admin_name")): _*)
   }
 
   /** Left variant: points matching no polygon survive with null admin

@@ -154,7 +154,7 @@ object Lineage {
       // pending) must commit an empty snapshot, not NPE on null sums
       val r = spark.read.parquet(metricsPath)
         .agg(coalesce(sum("row_count"), lit(0L)),
-          coalesce(sum("bytes"), lit(0L))).head
+          coalesce(sum("bytes"), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
 
