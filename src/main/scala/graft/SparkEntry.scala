@@ -674,6 +674,21 @@ object SparkEntry {
         .groupBy("host")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
     }),
+    // ---- incremental NEAR-dup admission vs the standing corpus band
+    //      table (LSH stage of the crawl-dedup pair with q64): band
+    //      collision → exact-jaccard verify → reject. Oracle does the
+    //      exact all-pairs jaccard; parity holds when LSH recall is
+    //      total on this corpus's near-dup pairs (deterministic) ----
+    "q73_incremental_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 3 === 0)
+      val incoming = docs.filter(col("doc_id") % 3 =!= 0)
+      val bandTable = graft.operators.Dedup.minhashBandTable(
+        corpus, "text", "doc_id")
+      graft.operators.Dedup.incrementalNearDup(
+          incoming, bandTable, corpus, "text", "doc_id")
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+    }),
     // ---- C4-style text normalization (control-char fold + whitespace
     //      collapse + trim) over deterministically-injected noise; the
     //      canonical pass before dedup keys ----
@@ -1432,6 +1447,26 @@ object SparkEntry {
         |    AND nstop >= 2 AND top_word_frac <= 0.2 AND dup_2gram_frac <= 0.2) AS keep
         |FROM agg""".stripMargin,
     "q59_cell_compact" -> compactCascadeSql,
+    "q73_incremental_neardup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, n_chars,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |grams AS MATERIALIZED (
+        |  SELECT doc_id, n_chars,
+        |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |      ELSE list_transform(range(1, len(t) - 1), i ->
+        |        concat(t[i], ' ', t[i+1], ' ', t[i+2])) END) AS g
+        |  FROM toks),
+        |inc AS (SELECT * FROM grams WHERE doc_id % 3 <> 0),
+        |cor AS (SELECT * FROM grams WHERE doc_id % 3 = 0),
+        |rejected AS (
+        |  SELECT DISTINCT i.doc_id
+        |  FROM inc i JOIN cor c ON
+        |    len(list_intersect(i.g, c.g)) * 1.0
+        |      / (len(i.g) + len(c.g) - len(list_intersect(i.g, c.g))) >= 0.7)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM inc WHERE doc_id NOT IN (SELECT doc_id FROM rejected)""".stripMargin,
     "q72_window_anomaly" ->
       """WITH w AS (
         |  SELECT event_id, event_type, value,

@@ -134,6 +134,55 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Build the standing LSH band table for a corpus — the state an
+    * incremental crawl keeps alongside the exact-fp table: one
+    * (band_index, band_key, id) row per band per doc (k/bands minhash
+    * rows each). 24 bytes/band/doc, mergeable across crawls by union.
+    */
+  def minhashBandTable(docs: DataFrame, textCol: String, idCol: String,
+                       k: Int = 64, bands: Int = 16, shingle: Int = 3): DataFrame =
+    docs.select(col(idCol).as("corpus_id"),
+        posexplode(text.minhash_bands(col(textCol), k, bands, shingle)))
+      .select(col("pos").as("band_idx"), col("col").as("band_key"),
+        col("corpus_id"))
+
+  /** Incremental near-dup admission: reject incoming docs whose minhash
+    * collides with the STANDING corpus band table on any band AND whose
+    * exact shingle Jaccard against the colliding corpus doc reaches the
+    * threshold (candidate-then-verify, same discipline as minhashPairs).
+    * Returns the admitted rows of `incoming` unchanged. Run AFTER
+    * `incrementalDedup` (exact stage); admitted docs' bands then union
+    * into the standing table for the next crawl.
+    *
+    * Scale shape: the band join moves (band_idx, band_key, id) — ids
+    * only; text is joined back once for the surviving candidate pairs,
+    * and `corpusText` is only probed for those ids (point lookups on a
+    * bucketed corpus at scale).
+    */
+  def incrementalNearDup(incoming: DataFrame, corpusBands: DataFrame,
+                         corpusText: DataFrame, textCol: String,
+                         idCol: String, k: Int = 64, bands: Int = 16,
+                         shingle: Int = 3,
+                         threshold: Double = 0.7): DataFrame = {
+    val inBands = incoming.select(col(idCol).as("__in_id"),
+        posexplode(text.minhash_bands(col(textCol), k, bands, shingle)))
+      .select(col("pos").as("band_idx"), col("col").as("band_key"),
+        col("__in_id"))
+    val cand = inBands
+      .join(corpusBands, Seq("band_idx", "band_key"))
+      .select("__in_id", "corpus_id").distinct()
+    val verified = cand
+      .join(incoming.select(col(idCol).as("__in_id"),
+        col(textCol).as("__in_txt")), Seq("__in_id"))
+      .join(corpusText.select(col(idCol).as("corpus_id"),
+        col(textCol).as("__c_txt")), Seq("corpus_id"))
+      .filter(text.jaccard_shingles(col("__in_txt"), col("__c_txt"), shingle)
+        >= threshold)
+      .select(col("__in_id")).distinct()
+    incoming.join(
+      verified.withColumnRenamed("__in_id", idCol), Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-dup pairs: 64-bit simhash, banded into four 16-bit
     * blocks (any pair within hamming ≤ 3 must agree on ≥1 block —
     * pigeonhole); exact hamming verification on candidates. The simhash

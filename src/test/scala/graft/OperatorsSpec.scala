@@ -129,6 +129,23 @@ class DedupSpec extends AnyFunSuite {
     assert(got === Set(11L, 12L))
   }
 
+  test("incremental near-dup: band-collision candidates verified by exact jaccard") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = Seq((100L, base)).toDF("doc_id", "text")
+    val bandTable = graft.operators.Dedup.minhashBandTable(corpus, "text", "doc_id")
+    val incoming = Seq(
+      (1L, base),                                    // exact copy → rejected
+      (2L, base.replace("theta", "CHANGED")),        // near-dup → rejected
+      (3L, "completely different words entirely here with nothing shared at all ok")
+    ).toDF("doc_id", "text")
+    val admitted = graft.operators.Dedup
+      .incrementalNearDup(incoming, bandTable, corpus, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted === Set(3L))
+  }
+
   test("rolling window hashes: one per position, equal iff substrings equal") {
     val s = "abcabcabcXabcabcabc"
     val h = graft.core.TextHash.charWindowHashes(s, 5)
