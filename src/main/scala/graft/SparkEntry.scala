@@ -674,6 +674,24 @@ object SparkEntry {
         .groupBy("host")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
     }),
+    // ---- recency-weighted activity rollup (crawl scheduling): per
+    //      event type, events weighted by exponential decay from the
+    //      corpus max timestamp (τ = 7 days). One hash aggregation;
+    //      the anchor rides a 1-row broadcast, not a driver collect ----
+    "q74_recency_rollup" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val ts = col("ts").cast("timestamp")
+      val anchor = ev.agg(max(unix_micros(ts)).as("__t0"))
+      val tau = 7.0 * 86400.0 * 1e6
+      ev.crossJoin(broadcast(anchor))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value") *
+            exp(-(col("__t0") - unix_micros(ts)) / tau)), 4)
+            .as("decayed_value"),
+          round(sum(exp(-(col("__t0") - unix_micros(ts)) / tau)), 4)
+            .as("decayed_count"))
+    }),
     // ---- incremental NEAR-dup admission vs the standing corpus band
     //      table (LSH stage of the crawl-dedup pair with q64): band
     //      collision → exact-jaccard verify → reject. Oracle does the
@@ -1447,6 +1465,15 @@ object SparkEntry {
         |    AND nstop >= 2 AND top_word_frac <= 0.2 AND dup_2gram_frac <= 0.2) AS keep
         |FROM agg""".stripMargin,
     "q59_cell_compact" -> compactCascadeSql,
+    "q74_recency_rollup" ->
+      """WITH t0 AS (SELECT max(epoch_us(ts)) AS t0 FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        |  round(sum(value * exp(-(t0.t0 - epoch_us(ts))
+        |    / (7.0 * 86400.0 * 1e6))), 4) AS decayed_value,
+        |  round(sum(exp(-(t0.t0 - epoch_us(ts))
+        |    / (7.0 * 86400.0 * 1e6))), 4) AS decayed_count
+        |FROM events CROSS JOIN t0
+        |GROUP BY event_type""".stripMargin,
     "q73_incremental_neardup" ->
       """WITH toks AS (
         |  SELECT doc_id, n_chars,
