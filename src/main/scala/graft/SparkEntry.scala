@@ -674,6 +674,19 @@ object SparkEntry {
         .groupBy("host")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
     }),
+    // ---- distributed BPE merge training (Sennrich et al.): the merge
+    //      table learned from the corpus word-type dictionary — each
+    //      iteration is one pair-count aggregation + one merge map over
+    //      the vocabulary-sized dict; deterministic lexicographic
+    //      tie-break (fixture-pinned: iterative, not SQL-expressible) ----
+    "q75_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.BpeTrain
+        .trainMerges(t(s, dir, "documents"), "text", nMerges = 8)
+        .zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("ord", "left", "right")
+    }),
     // ---- recency-weighted activity rollup (crawl scheduling): per
     //      event type, events weighted by exponential decay from the
     //      corpus max timestamp (τ = 7 days). One hash aggregation;
