@@ -480,7 +480,8 @@ object SparkEntry {
       graft.operators.Bootstrap.medianEnvelope(
         t(s, dir, "events"), Seq("event_type"), col("value"), nBoot = 100)
     }),
-    // ---- multimodal: binary decode (stub) + resize/frame-sample plans ----
+    // ---- multimodal: real binary decode (P6/WAV/Y4M codecs in
+    //      Multimodal.decode) + resize/frame-sample plans ----
     "q51_multimodal" -> ((s, dir) => {
       val media = graft.operators.Multimodal.synthMedia(s,
         graft.sources.SynthPages.countForSfDir(dir) / 10)
@@ -1136,9 +1137,9 @@ object SparkEntry {
         |    (s0*(s2*t2-s3*t1) - s1*(s1*t2-s2*t1) + t0*(s1*s3-s2*s2)) AS d2
         |  FROM m)
         |SELECT CAST(grp AS BIGINT) AS grp,
-        |  round(exp(d0/det - (d1/det)*(d1/det)/(4.0*(d2/det))), 6) AS amp,
-        |  round(-(d1/det)/(2.0*(d2/det)), 6) AS mu,
-        |  round(sqrt(-1.0/(2.0*(d2/det))), 6) AS sigma,
+        |  round(exp(d0/det - (d1/det)*(d1/det)/(4.0*(d2/det))), 6) + 0.0 AS amp,
+        |  round(-(d1/det)/(2.0*(d2/det)), 6) + 0.0 AS mu,
+        |  round(sqrt(-1.0/(2.0*(d2/det))), 6) + 0.0 AS sigma,
         |  n
         |FROM c""".stripMargin,
     // Exact replication of the fixed-iteration IRLS: OLS init, fixed scale

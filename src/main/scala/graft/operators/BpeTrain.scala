@@ -72,12 +72,17 @@ object BpeTrain {
     * negating each char code into a sortable string.
     */
   private def negate_lex(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    // map each char → (0xFFFF − code) so larger sorts mean smaller
-    // strings; append a max-sentinel so a PREFIX (lexicographically
-    // smaller original) still sorts larger than its extensions
+    // map each code point → fixed-width hex of (0x10FFFF − code), so
+    // larger sorts mean smaller strings. Hex digits [0-9A-F] are
+    // ASCII-ordered, so comparing the concatenation compares negated
+    // code points positionally for the FULL Unicode range (Spark's
+    // `chr` masks its argument to 0xFF, so a chr-based negation would
+    // wrap mod 256 beyond Latin-1). Append 'G' (> any hex digit) as
+    // the terminator so a PREFIX (lexicographically smaller original)
+    // still sorts larger than its extensions.
     val negChar = transform(split(c, ""),
-      ch => chr(lit(65535) - ascii(ch)))
-    concat(array_join(negChar, ""), chr(lit(65535)))
+      ch => lpad(hex(lit(0x10FFFF) - ascii(ch)), 6, "0"))
+    concat(array_join(negChar, ""), lit("G"))
   }
 
   /** Replace every adjacent (a, b) with the merged symbol, left-to-right

@@ -68,10 +68,12 @@ object Fitting {
     val groupsBack = groupCols.zipWithIndex.map { case (c, i) =>
       split(col("gk"), sep).getItem(i).as(c)
     }
+    // `+ 0.0` after rounding normalizes IEEE signed zero (−0.0 + 0.0 = +0.0):
+    // a fit converging to ~−4e-17 must hash identically to an oracle's +0.0.
     fitted.select((groupsBack ++ Seq(
-      round(col("amp_raw"), 6).as("amp"),
-      round(col("mu_raw"), 6).as("mu"),
-      round(col("sigma_raw"), 6).as("sigma"),
+      (round(col("amp_raw"), 6) + lit(0.0)).as("amp"),
+      (round(col("mu_raw"), 6) + lit(0.0)).as("mu"),
+      (round(col("sigma_raw"), 6) + lit(0.0)).as("sigma"),
       col("n"))): _*)
   }
 

@@ -124,6 +124,9 @@ object Multimodal {
 
   private def decodeImage(m: Media): Decoded = {
     val (w, h, off) = ppmHeader(m.payload)
+    // A zero dimension would yield all-NaN features that slip through
+    // decodeSafe as successes; surface it in the error channel instead.
+    require(w > 0 && h > 0, s"degenerate image ${w}x$h")
     val n = w * h
     var sr, sg, sb, sl, sl2 = 0.0
     var lMin = 255.0; var lMax = 0.0
@@ -164,6 +167,11 @@ object Multimodal {
     while (pos + 8 <= m.payload.length && (channels == 0 || dataOff < 0)) {
       val cid = new String(m.payload, pos, 4, "US-ASCII")
       val clen = buf.getInt(pos + 4)
+      // A corrupt negative/oversized length would make the walk step by
+      // <=0 (infinite loop) or read past the payload; fail into the
+      // decodeSafe error channel instead.
+      require(clen >= 0 && pos + 8 + clen <= m.payload.length,
+        s"corrupt RIFF chunk length $clen at offset $pos")
       if (cid == "fmt ") {
         require(buf.getShort(pos + 8) == 1, "non-PCM wav")
         channels = buf.getShort(pos + 10)
@@ -173,6 +181,7 @@ object Multimodal {
     }
     require(channels > 0 && dataOff >= 0 && bits == 16, "missing fmt/data/16-bit")
     val nTotal = dataLen / 2
+    require(nTotal > 0, "empty data chunk")
     val nPerCh = nTotal / channels
     var s, s2 = 0.0; var peak = 0.0; var zc = 0; var prev = 0.0
     val hist = new Array[Double](8)

@@ -133,12 +133,15 @@ object Tiler {
         col("kind"), col("name"))
       .as[(Long, Long, Double, Double, String, String)]
     val topk = new TopKFeatures(cap).toColumn
-    // reused by every coarser level and its own encode — cache the small
-    // (tiles × cap) buffer table, not the raw input
+    // reused by every coarser level and its own encode — materialize the
+    // small (tiles × cap) buffer table once, not the raw input. An eager
+    // localCheckpoint (not persist) so the blocks are released by the
+    // ContextCleaner when the pyramid result is dropped, instead of
+    // staying pinned on executors for the rest of the session.
     val base = proj.groupByKey(_._1)
       .mapValues(r => Feat(r._2, r._3, r._4, r._5, r._6))
       .agg(topk)
-      .persist()
+      .localCheckpoint(true)
     val coarser = zs.init.map { z =>
       val dz = finest - z
       val rolled = base.flatMap { case (tid, feats) =>

@@ -50,18 +50,25 @@ object EventStream {
 
   /** Streaming exact dedup: fingerprint the text (codegen'd 64-bit
     * rolling hash — same kernel as batch q23) and keep the first
-    * occurrence per fingerprint. On a stream this is Structured
-    * Streaming's stateful dropDuplicates bounded by the watermark (state
-    * for a fingerprint can be dropped once its event-time window has
-    * passed); on a batch frame the same definition degrades to a plain
+    * occurrence per fingerprint. On a stream this uses
+    * `dropDuplicatesWithinWatermark`, whose per-fingerprint state IS
+    * evicted once the watermark passes it (plain `dropDuplicates("fp")`
+    * would never evict because the event-time column is not in the
+    * subset — unbounded state at 100 TB). The trade is the documented
+    * Spark semantic: duplicates are only suppressed within the watermark
+    * delay; a re-crawl of the same page a week later is admitted again,
+    * which is what the standing-fp-table batch operator (q64) is for.
+    * On a batch frame the same definition degrades to a plain
     * dropDuplicates — one definition, two run modes, like windowedCounts.
     */
   def dedupStream(pages: DataFrame, watermark: String = "1 hour"): DataFrame = {
     val fp = pages.withColumn("fp",
       graft.functions.text.fingerprint64(col("text")))
-    val src = if (pages.isStreaming) fp.withWatermark("warc_ts", watermark) else fp
-    src.dropDuplicates("fp")
-      .select(col("url"), col("warc_ts"), col("fp"))
+    val deduped =
+      if (pages.isStreaming)
+        fp.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark("fp")
+      else fp.dropDuplicates("fp")
+    deduped.select(col("url"), col("warc_ts"), col("fp"))
   }
 
   final case class SessionUpdate(user_id: Long, n_events: Long,

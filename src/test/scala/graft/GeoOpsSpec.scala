@@ -229,8 +229,11 @@ class StreamDedupSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
       (String, java.sql.Timestamp, String)]
+    // watermark spans the whole corpus: within the delay the stream must
+    // agree exactly with batch distinct (state eviction semantics are
+    // pinned separately below)
     val q = graft.streaming.EventStream.dedupStream(
-        input.toDF().toDF("url", "warc_ts", "text"))
+        input.toDF().toDF("url", "warc_ts", "text"), watermark = "3650 days")
       .writeStream.outputMode("append")
       .format("memory").queryName("dedupstream").start()
     // micro-batches arrive in event-time order (live ingest); rows behind
@@ -245,6 +248,37 @@ class StreamDedupSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted.toSeq
     q.stop()
     assert(got === distinctFps) // dedup holds ACROSS micro-batches
+  }
+
+  test("streaming dedup state is watermark-bounded: a dup past the delay is re-admitted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int) = new java.sql.Timestamp(h * 3600L * 1000L)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (String, java.sql.Timestamp, String)]
+    val q = graft.streaming.EventStream.dedupStream(
+        input.toDF().toDF("url", "warc_ts", "text"), watermark = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedupevict").start()
+    // same text twice inside the delay → dedup'd; an unrelated row 50h
+    // later advances the watermark past the key's expiry (watermark only
+    // moves at batch boundaries, so eviction needs this intermediate
+    // batch); the same text again after that → re-admitted because its
+    // state was evicted. This bounded-state trade (vs unbounded
+    // dropDuplicates state at 100 TB) is the operator's documented
+    // contract; the standing-fp-table batch dedup (q64) covers re-crawls
+    // beyond the watermark.
+    input.addData(Seq(("u1", ts(1000), "same text"),
+      ("u2", new java.sql.Timestamp(1000L * 3600000L + 600000L), "same text")))
+    q.processAllAvailable()
+    input.addData(Seq(("adv", ts(1050), "other text")))
+    q.processAllAvailable()
+    input.addData(Seq(("u3", ts(1051), "same text")))
+    q.processAllAvailable()
+    val urls = spark.table("dedupevict").select("url")
+      .collect().map(_.getString(0)).sorted.toSeq
+    q.stop()
+    assert(urls === Seq("adv", "u1", "u3"))
   }
 }
 
