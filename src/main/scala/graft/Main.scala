@@ -102,6 +102,18 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = {
+    // QA report mode: per-stage verdicts over the committed lineage
+    // (conservation, skew gate, resume overlap, encode drift) + a
+    // one-screen summary — the reference's consolidated frame verdict
+    // (mvt/frameguess.py:131-215) over this engine's metrics table
+    if (args.contains("--report")) {
+      val outDir = args.filterNot(_.startsWith("--")).headOption
+        .getOrElse("/tmp/graft-tiles")
+      val spark = session()
+      println(graft.plans.QaReport.report(spark, outDir))
+      spark.stop()
+      return
+    }
     // table maintenance mode: rewrite active snapshots into one and
     // physically expire the replaced ones — no pipeline run
     if (args.contains("--compact")) {

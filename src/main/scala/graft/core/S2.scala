@@ -160,6 +160,17 @@ object S2 {
     (id & -newLsb) | newLsb
   }
 
+  /** The four child cells one level down: with L = lsb(id) and
+    * L' = L >> 2, child k is centered at id − L + (2k+1)·L', and the
+    * four child ranges tile [rangeMin(id), rangeMax(id)] exactly.
+    */
+  def children(id: Long): Array[Long] = {
+    val l = lsb(id)
+    require(l > 1, "leaf cell has no children")
+    val cl = l >> 2
+    Array.tabulate(4)(k => id - l + (2L * k + 1L) * cl)
+  }
+
   /** Range [rangeMin, rangeMax] of leaf ids contained in this cell. */
   def rangeMin(id: Long): Long = id - (lsb(id) - 1)
   def rangeMax(id: Long): Long = id + (lsb(id) - 1)

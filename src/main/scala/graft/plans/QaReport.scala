@@ -1,0 +1,182 @@
+package graft.plans
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Diagnose-and-explain QA report over a lineage root: per-stage
+  * pass/fail verdicts plus a one-screen, human-readable summary with
+  * quantified impact — the Spark-table analog of the reference's frame
+  * verdict + impact CLI (reference: mvt/frameguess.py:44-129 `_verdict`
+  * threshold heuristics with reason strings, `_impact` attenuation
+  * estimates; :131-215 `verdict_from_framecheck` consolidated report).
+  *
+  * Checks, per ACTIVE snapshot:
+  *   - conservation: manifest row_count/bytes == recomputed sums from the
+  *     committed per-partition metrics == actual data-file row count. A
+  *     mismatch means the commit record no longer describes the data
+  *     (tamper, partial delete, filesystem loss).
+  *   - skew: max per-file bytes ≤ factor × median per-file bytes (the
+  *     BASELINE hot-tile gate applied to what was actually committed).
+  *     Impact analog: straggler amplification = max/median — the
+  *     predicted wall-clock stretch of the widest reader over this
+  *     snapshot, same shape as the reference's depth-attenuation
+  *     estimate (frameguess.py:73-129).
+  *   - overlap (cross-snapshot): active snapshots must be disjoint in
+  *     tile_id — the resume anti-join's contract. Impact analog: the
+  *     wasted re-encode fraction = duplicate rows / total rows.
+  *   - drift (cross-snapshot): each snapshot's mean bytes/tile vs the
+  *     median snapshot's — a resumed run whose encode drifted (config
+  *     skew, code change mid-table) shows up as a ratio far from 1, the
+  *     same scatter-ratio heuristic as the reference verdict
+  *     (frameguess.py:58-66: ratio + threshold → guess + reason).
+  *
+  * All checks are metrics-table aggregations (file-level rows, thousands
+  * per snapshot at 100 TB) plus ONE count over each snapshot's data for
+  * conservation — no tile payload is ever collected.
+  */
+object QaReport {
+  final case class Verdict(stage: String, snapshotId: Long, status: String,
+                           metric: Double, threshold: Double, reason: String) {
+    def ok: Boolean = status == "pass"
+  }
+
+  private val RowCountRe = """"row_count":\s*(\d+)""".r
+  private val BytesRe = """"bytes":\s*(\d+)""".r
+
+  /** (row_count, bytes) recorded in a snapshot's commit manifest. */
+  private def manifestCounts(root: String, id: Long): Option[(Long, Long)] = {
+    val p = Paths.get(root, "manifests", s"snap-$id.json")
+    if (!Files.exists(p)) return None
+    val txt = Files.readString(p)
+    for {
+      r <- RowCountRe.findFirstMatchIn(txt).map(_.group(1).toLong)
+      b <- BytesRe.findFirstMatchIn(txt).map(_.group(1).toLong)
+    } yield (r, b)
+  }
+
+  def verdicts(spark: SparkSession, root: String,
+               skewFactor: Double = 2.0,
+               driftRatio: Double = 3.0): Seq[Verdict] = {
+    val active = Lineage.activeSnapshots(root)
+    if (active.isEmpty)
+      return Seq(Verdict("lineage", 0L, "unknown", 0, 0,
+        "no committed snapshots under this root"))
+
+    // one pass over the (tiny, file-level) metrics table: per-snapshot
+    // row/byte totals + the skew quantities
+    val perSnap: Map[Long, (Long, Long, Long, Long)] =
+      Lineage.metricsTable(spark, root)
+        .groupBy("snapshot_id")
+        .agg(sum("row_count").as("rows"), sum("bytes").as("bytes"),
+          max("bytes").as("max_file_bytes"),
+          // exact median is fine: the agg input is one row per data FILE
+          expr("percentile(bytes, 0.5)").cast("long").as("med_file_bytes"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))))
+        .toMap
+
+    val conservation = active.flatMap { id =>
+      val (mRows, mBytes, _, _) = perSnap.getOrElse(id, (0L, 0L, 0L, 0L))
+      manifestCounts(root, id) match {
+        case None => Seq(Verdict("conservation", id, "fail", 0, 0,
+          s"manifest for snapshot $id is unreadable"))
+        case Some((manRows, manBytes)) =>
+          val dataRows = spark.read.parquet(s"$root/data/snap-$id").count()
+          val okRows = manRows == mRows && mRows == dataRows
+          val okBytes = manBytes == mBytes
+          Seq(Verdict("conservation", id,
+            if (okRows && okBytes) "pass" else "fail",
+            dataRows, manRows,
+            if (okRows && okBytes)
+              s"manifest=$manRows rows / $manBytes B == metrics == data"
+            else
+              s"manifest=$manRows rows/$manBytes B, metrics=$mRows rows/$mBytes B, " +
+                s"data=$dataRows rows — commit record does not match the table"))
+      }
+    }
+
+    val skew = active.map { id =>
+      val (_, _, maxB, medB) = perSnap.getOrElse(id, (0L, 0L, 0L, 0L))
+      val amp = if (medB > 0) maxB.toDouble / medB else 0.0
+      Verdict("skew", id, if (medB == 0 || amp <= skewFactor) "pass" else "fail",
+        amp, skewFactor,
+        f"max file $maxB B vs median $medB B → straggler amplification $amp%.2f× " +
+          f"(gate ≤ $skewFactor%.1f×)")
+    }
+
+    // cross-snapshot tile_id disjointness: count duplicate-keyed rows once
+    val overlap = if (active.size < 2) Seq.empty else {
+      val all = spark.read
+        .parquet(active.map(s => s"$root/data/snap-$s"): _*)
+        .select("tile_id")
+      val Array(total, distinct) = all
+        .agg(count(lit(1)), count_distinct(col("tile_id")))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val dup = total - distinct
+      val frac = if (total > 0) dup.toDouble / total else 0.0
+      Seq(Verdict("overlap", 0L, if (dup == 0) "pass" else "fail",
+        frac, 0.0,
+        if (dup == 0) s"$total rows across ${active.size} snapshots, all tile_ids disjoint"
+        else f"$dup duplicate tile rows of $total (${frac * 100}%.1f%% of the table " +
+          "re-encoded) — a resume ran without the committed-tile anti-join"))
+    }
+
+    val drift = if (active.size < 2) Seq.empty else {
+      val bytesPerRow = active.flatMap { id =>
+        val (r, b, _, _) = perSnap.getOrElse(id, (0L, 0L, 0L, 0L))
+        if (r > 0) Some(id -> b.toDouble / r) else None
+      }
+      val med = {
+        val s = bytesPerRow.map(_._2).sorted
+        if (s.isEmpty) 0.0 else s(s.length / 2)
+      }
+      bytesPerRow.map { case (id, bpr) =>
+        val ratio = if (med > 0) math.max(bpr / med, med / bpr) else 1.0
+        Verdict("drift", id, if (ratio <= driftRatio) "pass" else "fail",
+          ratio, driftRatio,
+          f"$bpr%.1f B/tile vs table median $med%.1f → ratio $ratio%.2f× " +
+            f"(gate ≤ $driftRatio%.1f×)" +
+            (if (ratio <= driftRatio) ""
+             else " — encode output drifted across resumes"))
+      }
+    }
+
+    conservation ++ skew ++ overlap ++ drift
+  }
+
+  /** Verdicts as a DataFrame (for persisting next to the metrics table). */
+  def verdictsTable(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    verdicts(spark, root)
+      .toDF("stage", "snapshot_id", "status", "metric", "threshold", "reason")
+  }
+
+  /** One-screen consolidated report: a leading one-line verdict (the
+    * reference's "looks **native**" / "looks **barycentric**" shape)
+    * followed by per-stage detail lines.
+    */
+  def summary(vs: Seq[Verdict]): String = {
+    val fails = vs.filterNot(v => v.status == "pass")
+    val head =
+      if (vs.exists(_.status == "unknown"))
+        "Lineage looks **unknown** — " + vs.find(_.status == "unknown").get.reason
+      else if (fails.isEmpty)
+        s"Lineage looks **healthy** — ${vs.size} checks passed " +
+          s"(${vs.map(_.stage).distinct.sorted.mkString(", ")})"
+      else
+        s"Lineage looks **degraded** — ${fails.size}/${vs.size} checks failed: " +
+          fails.map(f => s"${f.stage}" +
+            (if (f.snapshotId > 0) s"@snap-${f.snapshotId}" else "")).distinct
+            .mkString(", ")
+    val lines = vs.sortBy(v => (v.stage, v.snapshotId)).map { v =>
+      val snap = if (v.snapshotId > 0) f"snap-${v.snapshotId}%-3d" else "table  "
+      f"  [${v.status.toUpperCase}%-4s] ${v.stage}%-12s $snap ${v.reason}"
+    }
+    (head +: lines).mkString("\n")
+  }
+
+  def report(spark: SparkSession, root: String): String =
+    summary(verdicts(spark, root))
+}
