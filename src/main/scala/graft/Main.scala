@@ -114,6 +114,22 @@ object Main {
       spark.stop()
       return
     }
+    // curation mode: the training-data pass (normalize → exact dedup →
+    // paragraph dedup → span analysis → Gopher gate) snapshot-committed
+    // with the same resume/QA discipline as the tile pipeline
+    if (args.contains("--curate")) {
+      val cfg = parseArgs(args.filterNot(_ == "--curate"))
+      val spark = session()
+      val t0 = System.nanoTime()
+      val snap = graft.operators.Curate.run(
+        pageTable(spark, cfg), cfg.outDir, cfg.resume,
+        note = s"curate pages=${cfg.nPages} resume=${cfg.resume}")
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"committed snapshot ${snap.id} rows=${snap.rows} " +
+        f"bytes=${snap.bytes} in $secs%.1f s (${snap.rows / secs}%.1f docs/sec)")
+      spark.stop()
+      return
+    }
     // table maintenance mode: rewrite active snapshots into one and
     // physically expire the replaced ones — no pipeline run
     if (args.contains("--compact")) {

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.text
+
+/** End-to-end training-data curation over a page table — the operator
+  * set composed into the one pass a pipeline user actually runs:
+  *
+  *   normalize → exact dedup (content-fp keeper) → paragraph dedup
+  *   (CCNet) → duplicated-span analysis (Lee et al. hash-window
+  *   approximation) → Gopher quality gate
+  *
+  * and committed through the Lineage snapshot layer keyed by content
+  * fingerprint, so a crawl ingested in batches resumes incrementally:
+  * already-committed documents are never re-curated or re-written (the
+  * same anti-join discipline as tile resume).
+  *
+  * Scale shape, stage by stage: normalization and the Gopher gate are
+  * codegen'd per-row projections (zero shuffle); exact dedup is one
+  * fp-keyed window (8-byte key); paragraph dedup shuffles paragraph
+  * text exactly twice (inherent: the output is the rewritten corpus);
+  * span analysis shuffles 8-byte window hashes, never substrings. The
+  * cross-document stages (paragraph/span) evaluate over the batch
+  * presented to them — for standing-corpus incrementality of those
+  * stages, the band-table (q73) and fp-table (q64) operators provide
+  * the mergeable state; exact-dedup incrementality IS provided here via
+  * the committed-fp anti-join.
+  */
+object Curate {
+
+  /** Curate a page table into per-document curated rows.
+    *
+    * Returns one row per SURVIVING document:
+    *   (tile_id = content fp, url, text_curated, byte_len, n_paras,
+    *    n_kept, dup_char_frac, n_words, keep flags…)
+    * `tile_id`/`byte_len` naming matches the Lineage commit contract so
+    * the snapshot layer (metrics, resume, QA report) applies unchanged.
+    */
+  /* spanMaxFrac default drops only near-total boilerplate: corpus-wide
+   * duplicated-window coverage rises with corpus size (every shared
+   * template sentence counts), so a tight default would silently empty
+   * a templated corpus — the fraction is ALWAYS reported per doc
+   * (`dup_char_frac`) for a caller-chosen policy, and the hard gate
+   * only removes documents that are almost entirely duplicated text. */
+  def curate(pages: DataFrame,
+             spanMinLen: Int = 20,
+             spanMaxFrac: Double = 0.98,
+             minWords: Int = 20): DataFrame = {
+    val norm = pages
+      .select(col("url"), TextAnalysis.normalizeText(col("text")).as("text"))
+      .filter(length(col("text")) > 0)
+      .withColumn("fp", text.fingerprint64(col("text")))
+    // exact dedup: deterministic min-url keeper per content fingerprint
+    val firstWin = Window.partitionBy("fp").orderBy(col("url").asc)
+    val uniq = norm
+      .withColumn("__rn", row_number().over(firstWin))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    // CCNet paragraph dedup: drop repeated paragraphs corpus-wide
+    val para = Dedup
+      .paragraphDedup(uniq, "url", split(col("text"), "\n"))
+      .withColumnRenamed("text_dedup", "text_curated")
+    val withPara = uniq.select(col("url"), col("fp")).join(para, Seq("url"))
+    // duplicated-span coverage of the rewritten text (boilerplate share)
+    val spans = Dedup
+      .duplicatedSpans(withPara.select(col("url"),
+        col("text_curated").as("text")), "text", "url", spanMinLen)
+      .select(col("url"), col("dup_char_frac"))
+    // Gopher gate on the rewritten text
+    val gopher = TextAnalysis
+      .gopherFilters(withPara, "text_curated", "url", minWords = minWords)
+      .select(col("url"), col("n_words"), col("keep"))
+    withPara
+      .join(spans, Seq("url"))
+      .join(gopher, Seq("url"))
+      .filter(col("keep") && col("dup_char_frac") <= spanMaxFrac)
+      .select(
+        col("fp").as("tile_id"),
+        col("url"),
+        col("text_curated"),
+        length(col("text_curated")).cast("long").as("byte_len"),
+        col("n_paras"), col("n_kept"), col("dup_char_frac"), col("n_words"))
+  }
+
+  /** Curate and commit as a Lineage snapshot; with `resume`, documents
+    * whose content fp is already committed under `root` are skipped
+    * BEFORE the write (never re-curated into the table). Returns the
+    * snapshot.
+    */
+  def run(pages: DataFrame, root: String, resume: Boolean,
+          note: String = "curate"): graft.plans.Lineage.Snapshot = {
+    val curated = curate(pages)
+    val pending =
+      if (resume) graft.plans.Lineage.pendingOnly(curated, root) else curated
+    graft.plans.Lineage.commit(pending, root, note)
+  }
+}

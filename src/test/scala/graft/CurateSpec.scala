@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The end-to-end curation pass (Curate.run / Main --curate): dedup +
+  * quality gates compose, commits are deterministic, and batch-resume
+  * never re-curates a committed document.
+  */
+class CurateSpec extends AnyFunSuite {
+  import SharedSpark._
+  import graft.operators.Curate
+  import graft.plans.{Lineage, QaReport}
+
+  private def pages(n: Long) = graft.sources.SynthPages.pagesDF(spark, n)
+
+  test("curate drops exact dups and gopher rejects; output is deterministic") {
+    val p = pages(400)
+    val out = Curate.curate(p).cache()
+    val n = out.count()
+    assert(n > 0)
+    // exact dups collapse: fewer curated docs than distinct input pages
+    assert(n < 400)
+    // fp is the identity: one row per content fingerprint
+    assert(out.select("tile_id").distinct().count() === n)
+    // all survivors pass the word gate by construction
+    assert(out.filter(col("n_words") < 20).count() === 0)
+    // deterministic: a second evaluation yields the identical curated set
+    val again = Curate.curate(p)
+    assert(out.select("tile_id", "url", "text_curated").exceptAll(
+      again.select("tile_id", "url", "text_curated")).count() === 0)
+    assert(again.select("tile_id").count() === n)
+    out.unpersist()
+  }
+
+  test("batch resume: committed docs are never re-curated; lineage stays QA-healthy") {
+    val root = java.nio.file.Files.createTempDirectory("graft-curate").toString
+    // batch 1: first crawl slice
+    val snap1 = Curate.run(pages(200), root, resume = false)
+    assert(snap1.rows > 0)
+    // batch 2: the full crawl (superset — synth pages are pure in id)
+    val snap2 = Curate.run(pages(400), root, resume = true)
+    assert(snap2.rows > 0)
+    val s1 = spark.read.parquet(s"$root/data/snap-1")
+      .select("tile_id").collect().map(_.getLong(0)).toSet
+    val s2 = spark.read.parquet(s"$root/data/snap-2")
+      .select("tile_id").collect().map(_.getLong(0)).toSet
+    assert(s1.intersect(s2).isEmpty) // nothing re-committed
+    // identical rerun adds nothing (idempotent ingestion)
+    val snap3 = Curate.run(pages(400), root, resume = true)
+    assert(snap3.rows === 0L)
+    // the QA report sees a healthy doc table (conservation, skew,
+    // overlap, drift all run — 3 snapshots)
+    val vs = QaReport.verdicts(spark, root)
+    assert(vs.filter(_.stage == "overlap").forall(_.ok), QaReport.summary(vs))
+    assert(vs.filter(_.stage == "conservation").forall(_.ok), QaReport.summary(vs))
+    assert(Lineage.metricsTable(spark, root)
+      .agg(sum("row_count")).head.getLong(0) === (snap1.rows + snap2.rows))
+  }
+}
