@@ -219,7 +219,8 @@ object Bench {
       "q49_pca_project", "q50_tfidf", "q51_multimodal",
       "q58_gopher_filters", "q59_cell_compact", "q61_seq_packing",
       "q62_hotspot", "q63_quality_classifier", "q65_dup_spans",
-      "q66_sessionize", "q67_perplexity", "q68_dsir_weights")
+      "q66_sessionize", "q67_perplexity", "q68_dsir_weights",
+      "q76_semdedup")
     val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") == "1"
     // per-query shuffle-write MB: the plan-quality evidence (a payload
     // riding a fan-out is visible here regardless of wall clock)

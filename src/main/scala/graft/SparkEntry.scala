@@ -688,6 +688,16 @@ object SparkEntry {
         .map { case ((a, b), i) => (i.toLong, a, b) }
         .toDF("ord", "left", "right")
     }),
+    // ---- SemDeDup (Abbas et al. 2023): seed-assigned embedding
+    //      clusters → in-cluster cosine ≥ τ duplicate pairs → component
+    //      groups → keep the member FARTHEST from its centroid. Seed
+    //      clustering (not Lloyd) keeps the whole operator — clustering
+    //      included — replayable by the SQL oracle ----
+    "q76_semdedup" -> ((s, dir) => {
+      graft.operators.Similarity
+        .semDedup(t(s, dir, "embeddings"), seedStride = 37L, tau = 0.4)
+        .withColumn("cos_centroid", col("cos_centroid") + lit(0.0))
+    }),
     // ---- recency-weighted activity rollup (crawl scheduling): per
     //      event type, events weighted by exponential decay from the
     //      corpus max timestamp (τ = 7 days). One hash aggregation;
@@ -1406,6 +1416,62 @@ object SparkEntry {
         |  round(CASE WHEN n = 0 THEN 0.0 ELSE topw * 1.0 / n END, 6) AS top_word_frac,
         |  round(CASE WHEN n < 2 THEN 0.0 ELSE topb * 1.0 / (n - 1) END, 6) AS top_2gram_frac
         |FROM agg""".stripMargin,
+    "q76_semdedup" ->
+      // independent SemDeDup replay: seed assignment (argmax rounded
+      // cosine, smaller seed on ties), in-cluster pair threshold on the
+      // SAME rounded cosine, recursive-CTE component closure, per-group
+      // keeper = min (cos_centroid, vec_id). Heavily-reused CTEs are
+      // MATERIALIZED (plain CTEs inline exponentially in DuckDB).
+      """WITH RECURSIVE
+        |v AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+        |seeds AS MATERIALIZED (
+        |  SELECT vec_id AS sid, embedding AS svec FROM v WHERE vec_id % 37 = 0),
+        |asg0 AS (
+        |  SELECT v.vec_id, s.sid,
+        |    round(list_sum(list_transform(range(1, len(v.embedding) + 1),
+        |        i -> CAST(v.embedding[i] AS DOUBLE) * CAST(s.svec[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(v.embedding,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(s.svec,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS c
+        |  FROM v CROSS JOIN seeds s),
+        |assigned AS MATERIALIZED (
+        |  SELECT vec_id, sid AS cluster_id, c AS cos_centroid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY c DESC, sid ASC) AS rn FROM asg0)
+        |  WHERE rn = 1),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        |  JOIN v va ON va.vec_id = a.vec_id
+        |  JOIN v vb ON vb.vec_id = b.vec_id
+        |  WHERE round(list_sum(list_transform(range(1, len(va.embedding) + 1),
+        |        i -> CAST(va.embedding[i] AS DOUBLE) * CAST(vb.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(va.embedding,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(vb.embedding,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) >= 0.4),
+        |e AS MATERIALIZED (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach(id, lbl) AS (
+        |  SELECT src AS id, src AS lbl FROM e
+        |  UNION
+        |  SELECT e.src AS id, r.lbl FROM e JOIN reach r ON e.dst = r.id),
+        |comp AS MATERIALIZED (SELECT id, min(lbl) AS comp FROM reach GROUP BY id),
+        |keepers AS MATERIALIZED (
+        |  SELECT comp, vec_id AS keep_id FROM (
+        |    SELECT c.comp, a.vec_id, row_number() OVER (PARTITION BY c.comp
+        |      ORDER BY a.cos_centroid ASC, a.vec_id ASC) AS rn
+        |    FROM comp c JOIN assigned a ON a.vec_id = c.id)
+        |  WHERE rn = 1)
+        |SELECT a.vec_id, CAST(a.cluster_id AS BIGINT) AS cluster_id,
+        |  a.cos_centroid + 0.0 AS cos_centroid,
+        |  (c.id IS NULL OR a.vec_id = k.keep_id) AS keep
+        |FROM assigned a
+        |LEFT JOIN comp c ON c.id = a.vec_id
+        |LEFT JOIN keepers k ON k.comp = c.comp""".stripMargin,
     "q40_injection_sweep" ->
       // mirrors Injection.depthSweep exactly: same LCG picks (31-bit safe
       // arithmetic), same median stack, same p16/p84 envelope

@@ -63,7 +63,14 @@ object Injection {
     val rec = stacked.filter(abs(col("x")) <= halfWindow)
       .groupBy("depth").agg((-min(col("med"))).as("rec"))
 
-    // exposure index 0..nIT-1 (deterministic order by exposure id) + count
+    // exposure index 0..nIT-1 (deterministic order by exposure id) + count.
+    // The unpartitioned window here (Spark warns) is intentional and
+    // bounded: its input is the DISTINCT exposure-id list — 8 bytes per
+    // EXPOSURE (10²–10⁴ frames in the reference design), not per row —
+    // so the single-partition rank touches kilobytes regardless of how
+    // many profile rows the corpus holds. The rank must be a global
+    // order to make the LCG pick uniform AND replayable in the SQL
+    // oracle (which computes the same row_number).
     val exps = it.select("exp").distinct()
       .withColumn("it_idx",
         row_number().over(org.apache.spark.sql.expressions.Window

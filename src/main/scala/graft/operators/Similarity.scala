@@ -157,4 +157,70 @@ object Similarity {
     val (evals, evecs) = graft.core.Eigen.jacobi(cov)
     PcaModel(mean, evecs.take(k), evals.take(k))
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the embedding
+    * space, call two documents semantic duplicates when their in-cluster
+    * cosine ≥ `tau`, group duplicates transitively, and keep ONE document
+    * per group — the paper's policy: the member with the LOWEST cosine to
+    * its cluster centroid (ties → smaller id). Documents in no duplicate
+    * pair are kept.
+    *
+    * Clustering here is seed-assignment (every `seedStride`-th corpus
+    * vector is a centroid; each vector joins its max-cosine seed) rather
+    * than Lloyd-iterated k-means, so the WHOLE operator — including the
+    * cluster step — is independently replayable by the SQL oracle
+    * (q76); `trainCentroids` + `assign` slot in unchanged when Lloyd
+    * refinement is wanted and fixture-pinning is acceptable (q29's
+    * trade).
+    *
+    * Scale shape: seeds broadcast (corpus/stride rows); the assignment
+    * argmax is a map-side-combined struct-max (the k-fanout reduces to
+    * one row per vector per partition before the shuffle); the pairwise
+    * stage is confined WITHIN clusters — that in-cluster quadratic is
+    * SemDeDup's own design trade (cluster count caps member count);
+    * duplicate groups resolve via the same min-label components kernel
+    * as MinHash dedup, over candidate ids only. Vectors cross the wire
+    * once for the cluster-keyed pair join; nothing is collected.
+    *
+    * Returns (vec_id, cluster_id, cos_centroid, keep).
+    */
+  def semDedup(vecs: DataFrame, seedStride: Long, tau: Double,
+               cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    require(seedStride > 0 && tau > 0)
+    val v = vecs.select(col(cId).cast("long").as("vec_id"),
+      col(cVec).as("__vec"))
+    val seeds = v.filter(pmod(col("vec_id"), lit(seedStride)) === 0)
+      .select(col("vec_id").as("__sid"), col("__vec").as("__svec"))
+    // assignment: per vector, max (rounded cosine, then smaller seed id);
+    // rounding BEFORE the argmax keeps the choice replayable in SQL
+    val best = v.crossJoin(broadcast(seeds))
+      .groupBy("vec_id")
+      .agg(max(struct(
+        round(vec.cosine_sim(col("__vec"), col("__svec")), 6).as("c"),
+        (-col("__sid")).as("ns"))).as("__m"))
+      .select(col("vec_id"), col("__m.c").as("cos_centroid"),
+        (-col("__m.ns")).as("cluster_id"))
+    val assigned = v.join(best, Seq("vec_id"))
+    // in-cluster duplicate pairs (id_a < id_b, rounded cosine ≥ tau)
+    val a = assigned.select(col("cluster_id"), col("vec_id").as("id_a"),
+      col("__vec").as("__va"))
+    val b = assigned.select(col("cluster_id"), col("vec_id").as("id_b"),
+      col("__vec").as("__vb"))
+    val dupPairs = a.join(b, Seq("cluster_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(vec.cosine_sim(col("__va"), col("__vb")), 6) >= tau)
+      .select("id_a", "id_b")
+    val comps = Dedup.connectedComponents(dupPairs)
+      .select(col("id").as("vec_id"), col("cluster_id").as("__comp"))
+    val keepers = assigned.join(comps, Seq("vec_id"))
+      .groupBy("__comp")
+      .agg(min(struct(col("cos_centroid"), col("vec_id"))).as("__k"))
+      .select(col("__comp"), col("__k.vec_id").as("__keep_id"))
+    assigned
+      .join(comps, Seq("vec_id"), "left")
+      .join(keepers, Seq("__comp"), "left")
+      .select(col("vec_id"), col("cluster_id"), col("cos_centroid"),
+        (col("__comp").isNull || col("vec_id") === col("__keep_id")).as("keep"))
+  }
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SemDeDup semantics (Abbas et al. 2023) + plan shape. The driver
+  * oracle (q76) checks the full operator against an independent SQL
+  * replay on the embeddings table; this spec pins the keep policy on a
+  * planted corpus and the plan's join strategy.
+  */
+class SemDedupSpec extends AnyFunSuite {
+  import SharedSpark._
+  import graft.operators.Similarity
+
+  // 3 well-separated directions in R^4; members of a direction are exact
+  // or near-exact duplicates of each other, so every in-cluster cosine
+  // within a direction is ~1 and across directions ~0
+  private def planted() = {
+    import spark.implicits._
+    val base = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    // ids 0,3,6 are seeds (stride 3), one per direction: ids 0-2 share
+    // direction 0, 3-5 direction 1, 6-8 direction 2
+    val rows = (0L until 9L).map { id =>
+      val d = base((id / 3).toInt)
+      // small deterministic per-id perturbation on a non-dominant axis
+      val eps = 0.001f * (id % 3 + 1)
+      (id, Array(d(0), d(1), d(2), eps))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("keep policy: one keeper per duplicate group — the member farthest from its centroid") {
+    val out = Similarity.semDedup(planted(), seedStride = 3L, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).sortBy(_._1)
+    assert(out.length === 9)
+    // each direction forms one duplicate group of 3 → exactly 3 keepers
+    assert(out.count(_._4) === 3)
+    // every cluster keeps exactly one member
+    val byCluster = out.groupBy(_._2)
+    assert(byCluster.forall(_._2.count(_._4) === 1))
+    // the keeper is the min-(cos_centroid, id) member of its cluster
+    for ((_, members) <- byCluster) {
+      val keeper = members.filter(_._4).head
+      val best = members.minBy(m => (m._3, m._1))
+      assert(keeper._1 === best._1)
+    }
+  }
+
+  test("singletons (no pair above tau) are all kept") {
+    import spark.implicits._
+    // 4 near-orthogonal vectors, stride 2 → 2 seeds; no cosine ≥ 0.9
+    val vs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1f, 0f)), (3L, Array(0f, 0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(vs, seedStride = 2L, tau = 0.9)
+    assert(out.filter(col("keep")).count() === 4)
+  }
+
+  test("plan: seed fan-out broadcasts; the pair stage is a hash join on cluster_id") {
+    spark.catalog.clearCache()
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = Similarity.semDedup(e, seedStride = 37L, tau = 0.4)
+      .queryExecution.executedPlan.toString
+    // the only nested-loop allowed is the broadcast seed cross join —
+    // a non-broadcast cartesian would be the corpus² blow-up
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("BroadcastNestedLoopJoin")
+      || plan.contains("BroadcastExchange"), plan.take(2000))
+  }
+}
