@@ -688,6 +688,27 @@ object SparkEntry {
         .map { case ((a, b), i) => (i.toLong, a, b) }
         .toDF("ord", "left", "right")
     }),
+    // ---- duplicated-span REMOVAL (Lee et al. ExactSubstr rewrite):
+    //      cut every later occurrence of a corpus-repeated ≥20-char
+    //      window, keeping the globally first copy; hash windows
+    //      shuffle, substrings never do ----
+    "q78_remove_spans" -> ((s, dir) => {
+      graft.operators.Dedup
+        .removeDuplicatedSpans(t(s, dir, "documents"), "text", "doc_id")
+        .withColumn("doc_id", col("doc_id").cast("long"))
+    }),
+    // ---- deterministic mixture resampling (the data-mixing step):
+    //      thin each language to hit target output shares with maximal
+    //      retention — a pure content-keyed filter after one bounded
+    //      count agg; the portable LCG coin makes the selected row set
+    //      SQL-replayable exactly ----
+    "q77_mixture_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Sampling.toMixture(d, col("lang"),
+        graft.operators.Sampling.portableUniform(col("doc_id")),
+        Map("en" -> 0.4, "de" -> 0.3, "fr" -> 0.3))
+        .select(col("doc_id"), col("lang"))
+    }),
     // ---- SemDeDup (Abbas et al. 2023): seed-assigned embedding
     //      clusters → in-cluster cosine ≥ τ duplicate pairs → component
     //      groups → keep the member FARTHEST from its centroid. Seed
@@ -1416,6 +1437,74 @@ object SparkEntry {
         |  round(CASE WHEN n = 0 THEN 0.0 ELSE topw * 1.0 / n END, 6) AS top_word_frac,
         |  round(CASE WHEN n < 2 THEN 0.0 ELSE topb * 1.0 / (n - 1) END, 6) AS top_2gram_frac
         |FROM agg""".stripMargin,
+    "q78_remove_spans" ->
+      // independent replay via substring EQUALITY (no hashes): windows
+      // ranked by (doc, pos) within identical content; later occurrences
+      // merge to islands; the rewrite stitches the kept segments with
+      // ordered string_agg. BMP text ⇒ char positions agree with Spark's
+      // UTF-16 positions (corpus contract, as in q65).
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id, text, length(text) AS n FROM documents),
+        |w AS MATERIALIZED (
+        |  SELECT doc_id, i.i AS pos, substr(text, i.i, 20) AS s
+        |  FROM d, LATERAL (SELECT unnest(range(1, n - 20 + 2)) AS i) i),
+        |later AS MATERIALIZED (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, row_number() OVER (PARTITION BY s
+        |      ORDER BY doc_id, pos) AS rn FROM w)
+        |  WHERE rn >= 2),
+        |marked AS (
+        |  SELECT doc_id, pos,
+        |    max(pos + 19) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM later),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM marked),
+        |cov AS MATERIALIZED (
+        |  SELECT doc_id, island, min(pos) AS s, max(pos) + 19 AS e
+        |  FROM isl GROUP BY 1, 2),
+        |ord AS (
+        |  SELECT doc_id, s, e,
+        |    lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s) AS pe,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY s) AS k
+        |  FROM cov),
+        |segs AS (
+        |  SELECT o.doc_id, o.k, substr(d.text, o.pe + 1, o.s - o.pe - 1) AS seg
+        |  FROM ord o JOIN d USING (doc_id)
+        |  UNION ALL
+        |  SELECT t.doc_id, 2147483647 AS k, substr(d.text, t.me + 1, d.n - t.me) AS seg
+        |  FROM (SELECT doc_id, max(e) AS me FROM cov GROUP BY 1) t
+        |  JOIN d USING (doc_id)),
+        |rew AS MATERIALIZED (
+        |  SELECT doc_id, string_agg(seg, '' ORDER BY k) AS text_rewritten
+        |  FROM segs GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(r.text_rewritten, d.text) AS text_rewritten,
+        |  CAST(d.n AS BIGINT) AS n_chars,
+        |  CAST(d.n - length(coalesce(r.text_rewritten, d.text)) AS BIGINT)
+        |    AS removed_chars
+        |FROM d LEFT JOIN rew r USING (doc_id)""".stripMargin,
+    "q77_mixture_sample" ->
+      // exact replay: same per-domain counts → scale s = min(n/w) →
+      // rate (w/n)·s, same 31-bit LCG coin; all arithmetic in DOUBLE
+      // with identical operation order so the < comparison agrees
+      """WITH c AS MATERIALIZED (
+        |  SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |w(lang, wt) AS (VALUES ('en', CAST(0.4 AS DOUBLE)),
+        |                       ('de', CAST(0.3 AS DOUBLE)),
+        |                       ('fr', CAST(0.3 AS DOUBLE))),
+        |sc AS (SELECT min(c.n / w.wt) AS s FROM c JOIN w USING (lang)),
+        |r AS (SELECT w.lang, w.wt / c.n * sc.s AS rate
+        |      FROM w JOIN c USING (lang) CROSS JOIN sc),
+        |u AS (SELECT doc_id, lang,
+        |  CAST((1103515245 * (doc_id % 2147483647) + 12345) % 2147483647
+        |       AS DOUBLE) / 2147483647.0 AS u
+        |  FROM documents)
+        |SELECT u.doc_id, u.lang FROM u JOIN r USING (lang)
+        |WHERE u.u < r.rate""".stripMargin,
     "q76_semdedup" ->
       // independent SemDeDup replay: seed assignment (argmax rounded
       // cosine, smaller seed on ties), in-cluster pair threshold on the

@@ -107,6 +107,74 @@ object Dedup {
             / col("n_chars")), 6).as("dup_char_frac"))
   }
 
+  /** Exact duplicated-span REMOVAL — the rewrite half of Lee et al. 2021
+    * (ExactSubstr): where [[duplicatedSpans]] only measures coverage,
+    * this cuts the duplicated text out. Every length-`minLen` window
+    * occurring at ≥ 2 corpus positions is duplicated; the globally FIRST
+    * occurrence of each window content (min (doc, pos)) is retained, and
+    * every LATER occurrence is removed from its document as the merged
+    * union of its duplicated windows' character ranges — so one copy of
+    * each repeated passage survives, in its earliest document.
+    *
+    * Scale shape: the same 8-byte rolling-hash window stream as
+    * [[duplicatedSpans]] (substrings never shuffle); first-occurrence
+    * selection is ONE hash-keyed window; island merge and the text
+    * rewrite are doc-keyed (no global order). The rewrite itself is a
+    * pure `aggregate` fold over each doc's sorted island array — cut
+    * positions ride a bounded per-doc array, text is rewritten in place.
+    *
+    * Returns (idCol, text_rewritten, n_chars, removed_chars).
+    */
+  def removeDuplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
+                            minLen: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = docs.select(col(idCol),
+        posexplode(text.char_window_hashes(col(textCol), minLen)))
+      .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("__h"))
+    // later occurrences only: rank within hash by (doc, pos); rn >= 2
+    // implies the hash occurs at >= 2 positions corpus-wide
+    val firstWin = Window.partitionBy("__h")
+      .orderBy(col(idCol).asc, col("pos").asc)
+    val laterDup = wins
+      .withColumn("__rn", row_number().over(firstWin))
+      .filter(col("__rn") >= 2)
+      .select(col(idCol), col("pos"))
+    // gaps-and-islands merge of the windows to cut (same kernel as
+    // duplicatedSpans)
+    val wPrev = Window.partitionBy(idCol).orderBy(col("pos").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(idCol).orderBy(col("pos").asc)
+    val islands = laterDup
+      .withColumn("__prevEnd", max(col("pos") + lit(minLen - 1)).over(wPrev))
+      .withColumn("__new",
+        when(col("__prevEnd").isNull || col("pos") > col("__prevEnd"), 1)
+          .otherwise(0))
+      .withColumn("__island", sum(col("__new")).over(wRun))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(minLen - 1)).as("e"))
+      .groupBy(idCol)
+      .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("__isl"))
+    val txt = col(textCol)
+    // fold the sorted islands: keep [cursor, island.start), jump cursor
+    // past the island; then append the tail after the last island
+    val rewritten = aggregate(col("__isl"),
+      struct(lit("").as("acc"), lit(1).as("cur")),
+      (st, isl) => struct(
+        concat(st.getField("acc"),
+          txt.substr(st.getField("cur"),
+            isl.getField("s") - st.getField("cur"))).as("acc"),
+        (isl.getField("e") + 1).as("cur")),
+      st => concat(st.getField("acc"),
+        txt.substr(st.getField("cur"), length(txt) - st.getField("cur") + 1)))
+    docs.join(islands, Seq(idCol), "left")
+      .withColumn("text_rewritten",
+        coalesce(when(col("__isl").isNotNull, rewritten), txt))
+      .select(col(idCol), col("text_rewritten"),
+        length(txt).cast("long").as("n_chars"),
+        (length(txt) - length(col("text_rewritten"))).cast("long")
+          .as("removed_chars"))
+  }
+
   /** MinHash+LSH near-dup pairs: signature k, `bands` bands (k/bands rows
     * per band), word-`shingle`-grams. Returns (id_a, id_b, jaccard) with
     * id_a < id_b and exact-verified jaccard ≥ threshold.

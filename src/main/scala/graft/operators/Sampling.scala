@@ -51,6 +51,37 @@ object Sampling {
     df.filter(u < rate)
   }
 
+  /** Resample to a target domain mixture (the data-mixing step of
+    * DoReMi-style pipelines, applied as deterministic downsampling): for
+    * target weight w_d per domain with current count n_d, each domain
+    * keeps rows at rate r_d = (w_d / n_d) · s where s = min_d(n_d / w_d)
+    * — the scarcest-relative-to-target domain keeps ALL its rows and
+    * every other domain thins to match, so the output domain shares
+    * equal the targets (in expectation) with maximal data retention and
+    * no upsampling. Domains without a weight are dropped.
+    *
+    * One count aggregation collects #domains rows to the driver (the
+    * centroid-collect pattern — domain cardinality is bounded); the
+    * sample itself is then a PURE FILTER with literal rates, so it
+    * pushes toward the scan and adds zero shuffle at any corpus size.
+    * Coin and rates are exact doubles derived from content and counts,
+    * so an external SQL oracle recomputing the same formula selects the
+    * identical row set (q77).
+    */
+  def toMixture(df: DataFrame, domainCol: Column, u: Column,
+                weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0))
+    val counts = df.groupBy(domainCol.as("__d")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weights.filter { case (d, _) => counts.getOrElse(d, 0L) > 0L }
+    require(present.nonEmpty, "no weighted domain present in the data")
+    val s = present.map { case (d, w) => counts(d) / w }.min
+    val rate = present.foldLeft(lit(0.0)) { case (acc, (d, w)) =>
+      when(domainCol === d, lit(w / counts(d) * s)).otherwise(acc)
+    }
+    df.filter(u < rate)
+  }
+
   /** Exactly `n` rows per key (all rows when the key has fewer):
     * deterministic "reservoir" = the n smallest hash values per key.
     * One shuffle on the key; ties broken by the tiebreak column so the

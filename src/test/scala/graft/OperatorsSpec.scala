@@ -402,6 +402,32 @@ class SamplingSpec extends AnyFunSuite {
       col("doc_id"), 3).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(r1 === r2)
   }
+
+  test("mixture resampling hits target shares with maximal retention, deterministically") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val u = Sampling.portableUniform(col("doc_id"))
+    val weights = Map("en" -> 0.4, "de" -> 0.3, "fr" -> 0.3)
+    val out = Sampling.toMixture(docs, col("lang"), u, weights)
+    val got = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // only weighted domains survive
+    assert(got.keySet.subsetOf(weights.keySet))
+    // the binding domain (min n/w) keeps ALL rows — maximal retention
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val binding = weights.keys.minBy(d => counts(d) / weights(d))
+    assert(got(binding) === counts(binding))
+    // output shares approximate the targets (coin variance on ~70-row
+    // strata: generous tolerance)
+    val total = got.values.sum.toDouble
+    for ((d, w) <- weights)
+      assert(math.abs(got(d) / total - w) < 0.12, s"$d: ${got(d) / total} vs $w")
+    // deterministic at any partitioning
+    val a = out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.toMixture(docs.repartition(7), col("lang"), u, weights)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b)
+  }
 }
 
 class HllSpec extends AnyFunSuite {

@@ -59,6 +59,40 @@ class SemDedupSpec extends AnyFunSuite {
     assert(out.filter(col("keep")).count() === 4)
   }
 
+  test("removeDuplicatedSpans cuts later copies, keeps the first, leaves unique text intact") {
+    import spark.implicits._
+    val passage = "The quick brown fox jumps over the lazy dog repeatedly."
+    val docs = Seq(
+      (1L, s"Intro one. $passage Outro one."),
+      (2L, s"Totally different start. $passage And a different end."),
+      (3L, "No shared content whatsoever lives inside this document."))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .removeDuplicatedSpans(docs, "text", "doc_id", minLen = 20)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 (first occurrence) keeps the passage verbatim
+    assert(out(1L)._1.contains(passage))
+    assert(out(1L)._3 === 0L)
+    // doc 2 loses the passage but keeps its unique head and tail (the
+    // shared region rightly extends into the common ". " boundary
+    // punctuation, so assert on the unique cores, not exact punctuation)
+    assert(!out(2L)._1.contains(passage))
+    assert(out(2L)._1.contains("Totally different start"))
+    assert(out(2L)._1.contains("And a different end."))
+    assert(out(2L)._3 >= passage.length.toLong)
+    // doc 3 untouched
+    assert(out(3L)._3 === 0L)
+    // length bookkeeping: removed = original − rewritten
+    for ((_, (txt, n, removed)) <- out)
+      assert(txt.length.toLong === n - removed)
+    // partitioning invariance
+    val a = graft.operators.Dedup
+      .removeDuplicatedSpans(docs.repartition(5), "text", "doc_id", 20)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(a === out.toSeq.sortBy(_._1).map { case (id, (t, _, _)) => (id, t) })
+  }
+
   test("plan: seed fan-out broadcasts; the pair stage is a hash join on cluster_id") {
     spark.catalog.clearCache()
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
