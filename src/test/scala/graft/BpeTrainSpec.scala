@@ -32,6 +32,20 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(out === Seq("low", "est" + BpeTrain.Eow))
   }
 
+  test("tie-break is correct beyond Latin-1: U+00FF sorts before U+0100") {
+    import spark.implicits._
+    // four pairs all tie at count 3: (ÿ,ÿ), (ÿ,</w>), (Ā,Ā), (Ā,</w>).
+    // Lexicographic minimum is (ÿ,</w>) since 'ÿ'(U+00FF) < 'Ā'(U+0100)
+    // and '<' < 'ÿ'. A chr()-based negation (masks to 0xFF) wraps U+0100
+    // to 0 and would wrongly crown an Ā pair — this pins the full-BMP
+    // hex negation.
+    val text = Seq.fill(3)("ÿÿ").mkString(" ") + " " +
+      Seq.fill(3)("ĀĀ").mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = BpeTrain.trainMerges(docs, "text", nMerges = 1)
+    assert(merges === Seq(("ÿ", BpeTrain.Eow)))
+  }
+
   test("training stops when no pair reaches the minimum count") {
     import spark.implicits._
     val docs = Seq((1L, "ab cd ef")).toDF("doc_id", "text") // all pairs count 1
