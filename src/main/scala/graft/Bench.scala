@@ -220,7 +220,8 @@ object Bench {
       "q58_gopher_filters", "q59_cell_compact", "q61_seq_packing",
       "q62_hotspot", "q63_quality_classifier", "q65_dup_spans",
       "q66_sessionize", "q67_perplexity", "q68_dsir_weights",
-      "q76_semdedup", "q77_mixture_sample", "q78_remove_spans")
+      "q76_semdedup", "q77_mixture_sample", "q78_remove_spans",
+      "q79_curate")
     val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") == "1"
     // per-query shuffle-write MB: the plan-quality evidence (a payload
     // riding a fan-out is visible here regardless of wall clock)

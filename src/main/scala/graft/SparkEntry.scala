@@ -688,6 +688,29 @@ object SparkEntry {
         .map { case ((a, b), i) => (i.toLong, a, b) }
         .toDF("ord", "left", "right")
     }),
+    // ---- the COMPOSED curation pass (Main --curate's operator chain)
+    //      verified end-to-end by one SQL replay: normalize → exact
+    //      dedup (min-url keeper; oracle groups by content where the
+    //      engine groups by its 64-bit fp) → paragraph dedup (8-word
+    //      chunks, q56's construction) → duplicated-span coverage →
+    //      Gopher gate. Urls are zero-padded doc ids so string order
+    //      matches numeric order on both sides ----
+    "q79_curate" -> ((s, dir) => {
+      val pages = t(s, dir, "documents")
+        .select(lpad(col("doc_id").cast("string"), 8, "0").as("url"),
+          col("text"))
+      def paras(txt: org.apache.spark.sql.Column) = {
+        val w = split(txt, " ")
+        val nChunks = floor((size(w) - lit(1)) / lit(8)).cast("int")
+        transform(sequence(lit(0), nChunks),
+          i => array_join(slice(w, i * lit(8) + lit(1), lit(8)), " "))
+      }
+      graft.operators.Curate.curate(pages, minWords = 20,
+          parasOf = paras, paraSep = " ")
+        .select(col("url"), col("text_curated"), col("byte_len"),
+          col("n_paras"), col("n_kept"), col("dup_char_frac"),
+          col("n_words"))
+    }),
     // ---- duplicated-span REMOVAL (Lee et al. ExactSubstr rewrite):
     //      cut every later occurrence of a corpus-repeated ≥20-char
     //      window, keeping the globally first copy; hash windows
@@ -1437,6 +1460,89 @@ object SparkEntry {
         |  round(CASE WHEN n = 0 THEN 0.0 ELSE topw * 1.0 / n END, 6) AS top_word_frac,
         |  round(CASE WHEN n < 2 THEN 0.0 ELSE topb * 1.0 / (n - 1) END, 6) AS top_2gram_frac
         |FROM agg""".stripMargin,
+    "q79_curate" ->
+      // the whole curation chain replayed: exact dedup by CONTENT
+      // (engine: by 64-bit fp — equivalent minus hash collisions),
+      // q56's paragraph chunking, q65's span coverage on the REWRITTEN
+      // text, q58's gopher formulas at minWords=20, final keep filter
+      """WITH d0 AS MATERIALIZED (
+        |  SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+        |    trim(regexp_replace(regexp_replace(text,
+        |      '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |d1 AS MATERIALIZED (
+        |  SELECT url, t FROM (
+        |    SELECT url, t, row_number() OVER (PARTITION BY t ORDER BY url) AS rn
+        |    FROM d0 WHERE length(t) > 0)
+        |  WHERE rn = 1),
+        |paras AS MATERIALIZED (
+        |  SELECT url, u.i AS pos, array_to_string(w[u.i*8+1 : u.i*8+8], ' ') AS para
+        |  FROM (SELECT url, string_split(t, ' ') AS w FROM d1) s,
+        |       unnest(generate_series(0, CAST(floor((len(w)-1)/8.0) AS BIGINT))) AS u(i)),
+        |ranked AS (
+        |  SELECT url, pos, para,
+        |    row_number() OVER (PARTITION BY para ORDER BY url, pos) AS rn
+        |  FROM paras),
+        |pd AS MATERIALIZED (
+        |  SELECT url, count(*) AS n_paras,
+        |    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    coalesce(string_agg(CASE WHEN rn = 1 THEN para END, ' '
+        |      ORDER BY pos), '') AS tc
+        |  FROM ranked GROUP BY url),
+        |sw AS MATERIALIZED (
+        |  SELECT url, i.i AS pos, substr(tc, i.i, 20) AS s
+        |  FROM (SELECT url, tc, length(tc) AS n FROM pd) p,
+        |       LATERAL (SELECT unnest(range(1, n - 20 + 2)) AS i) i),
+        |sdup AS (SELECT s FROM sw GROUP BY s HAVING count(*) >= 2),
+        |sdw AS (SELECT url, pos FROM sw WHERE s IN (SELECT s FROM sdup)),
+        |smarked AS (
+        |  SELECT url, pos,
+        |    max(pos + 19) OVER (PARTITION BY url ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM sdw),
+        |sisl AS (
+        |  SELECT url, pos,
+        |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY url ORDER BY pos) AS island
+        |  FROM smarked),
+        |scov AS (
+        |  SELECT url, island, max(pos) + 19 - min(pos) + 1 AS len
+        |  FROM sisl GROUP BY 1, 2),
+        |sper AS (SELECT url, sum(len) AS dup_chars FROM scov GROUP BY 1),
+        |spans AS MATERIALIZED (
+        |  SELECT p.url,
+        |    round(CASE WHEN length(p.tc) = 0 THEN 0.0
+        |      ELSE coalesce(sp.dup_chars, 0) * 1.0 / length(p.tc) END, 6)
+        |      AS dup_char_frac
+        |  FROM pd p LEFT JOIN sper sp USING (url)),
+        |gt AS (
+        |  SELECT url, tc, regexp_split_to_array(trim(tc), '\s+') AS tk,
+        |    regexp_split_to_array(lower(trim(tc)), '\s+') AS ltk
+        |  FROM pd),
+        |gb AS (
+        |  SELECT url, tc,
+        |    CASE WHEN length(trim(tc)) = 0 THEN 0 ELSE len(tk) END AS n, tk, ltk,
+        |    list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS bg
+        |  FROM gt),
+        |ga AS MATERIALIZED (
+        |  SELECT url, n,
+        |    round(CASE WHEN length(trim(tc)) = 0 THEN 0.0
+        |      ELSE list_sum(list_transform(tk, t -> length(t))) * 1.0 / len(tk) END, 6) AS mean_wl,
+        |    len(list_filter(ltk, t -> t IN ('the','a','an','and','or','of','to',
+        |      'in','is','it','on','for','with','as','by','at'))) AS nstop,
+        |    round(CASE WHEN n = 0 THEN 0.0 ELSE
+        |      list_max(list_transform(list_distinct(tk),
+        |        w -> len(list_filter(tk, t -> t = w)))) * 1.0 / n END, 6) AS top_word_frac,
+        |    round(CASE WHEN n < 2 THEN 0.0
+        |      ELSE 1.0 - len(list_distinct(bg)) * 1.0 / (n - 1) END, 6) AS dup_2gram_frac
+        |  FROM gb)
+        |SELECT p.url, p.tc AS text_curated,
+        |  CAST(length(p.tc) AS BIGINT) AS byte_len,
+        |  p.n_paras, p.n_kept, s.dup_char_frac, CAST(g.n AS BIGINT) AS n_words
+        |FROM pd p JOIN spans s USING (url) JOIN ga g USING (url)
+        |WHERE g.n >= 20 AND g.n <= 100000 AND g.mean_wl >= 3.0
+        |  AND g.mean_wl <= 10.0 AND g.nstop >= 2 AND g.top_word_frac <= 0.2
+        |  AND g.dup_2gram_frac <= 0.2 AND s.dup_char_frac <= 0.98""".stripMargin,
     "q78_remove_spans" ->
       // independent replay via substring EQUALITY (no hashes): windows
       // ranked by (doc, pos) within identical content; later occurrences

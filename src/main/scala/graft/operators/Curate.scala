@@ -47,7 +47,10 @@ object Curate {
   def curate(pages: DataFrame,
              spanMinLen: Int = 20,
              spanMaxFrac: Double = 0.98,
-             minWords: Int = 20): DataFrame = {
+             minWords: Int = 20,
+             parasOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+               split(_, "\n"),
+             paraSep: String = "\n"): DataFrame = {
     val norm = pages
       .select(col("url"), TextAnalysis.normalizeText(col("text")).as("text"))
       .filter(length(col("text")) > 0)
@@ -60,7 +63,7 @@ object Curate {
       .drop("__rn")
     // CCNet paragraph dedup: drop repeated paragraphs corpus-wide
     val para = Dedup
-      .paragraphDedup(uniq, "url", split(col("text"), "\n"))
+      .paragraphDedup(uniq, "url", parasOf(col("text")), sep = paraSep)
       .withColumnRenamed("text_dedup", "text_curated")
     val withPara = uniq.select(col("url"), col("fp")).join(para, Seq("url"))
     // duplicated-span coverage of the rewritten text (boilerplate share)

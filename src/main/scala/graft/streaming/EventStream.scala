@@ -71,6 +71,51 @@ object EventStream {
     deduped.select(col("url"), col("warc_ts"), col("fp"))
   }
 
+  /** Streaming crawl admission: from a live page stream, admit only
+    * documents that are (a) NOVEL against the standing corpus
+    * fingerprint table — a stream-static LEFT ANTI join, the streaming
+    * twin of the batch `Dedup.incrementalDedup` (q64) — and (b) pass
+    * the Gopher quality gate (pure codegen'd projection, stream-safe).
+    * Within-batch duplicates are additionally winnowed by the
+    * watermark-bounded dedup state.
+    *
+    * Scale shape: the static side ships fingerprints only (8 bytes per
+    * corpus doc); the gate adds no state; the only streaming state is
+    * the watermark-bounded fp set. One definition runs on batch frames
+    * too (isStreaming branches only the dedup-state flavor).
+    */
+  def admitNovel(pages: DataFrame, corpusFps: DataFrame,
+                 fpCol: String = "text_fp", minWords: Int = 20,
+                 watermark: String = "1 hour"): DataFrame = {
+    // dedup on the FULL row (dropDuplicates keeps whole first rows), so
+    // no join back to the stream is needed — a stream-stream self-join
+    // would demand two watermarks and a time constraint for nothing
+    val fp = pages.withColumn("fp",
+      graft.functions.text.fingerprint64(col("text")))
+    val deduped =
+      if (pages.isStreaming)
+        fp.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark("fp")
+      else { // batch: deterministic min-url keeper (dropDuplicates picks
+             // an arbitrary row; a stream keeps the first ARRIVAL —
+             // either way exactly one member per fp survives)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("fp").orderBy(col("url").asc)
+        fp.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+    val novel = deduped.join(
+      corpusFps.select(col(fpCol).cast("long").as("fp")),
+      Seq("fp"), "left_anti")
+    // the id threaded through the gate is a struct so fp survives the
+    // gate's projection without a second (stream-stream) join back
+    graft.operators.TextAnalysis
+      .gopherFilters(novel.withColumn("__id",
+        struct(col("url"), col("fp"))), "text", "__id", minWords = minWords)
+      .filter(col("keep"))
+      .select(col("__id.url").as("url"), col("__id.fp").as("fp"),
+        col("n_words"))
+  }
+
   final case class SessionUpdate(user_id: Long, n_events: Long,
                                  first_us: Long, last_us: Long, closed: Boolean)
 

@@ -282,6 +282,47 @@ class StreamDedupSpec extends AnyFunSuite {
   }
 }
 
+class AdmitNovelSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("streaming crawl admission == batch: anti-join vs corpus fps + quality gate") {
+    import spark.implicits._
+    val pages = graft.sources.SynthPages.pagesDF(spark, 400)
+    // standing corpus = the first 100 crawl docs' fingerprints (synth
+    // pages are pure in id, so these contents recur inside the 400)
+    val corpus = graft.sources.SynthPages.pagesDF(spark, 100)
+      .select(graft.functions.text.fingerprint64(col("text")).as("text_fp"))
+      .distinct()
+    val batch = graft.streaming.EventStream.admitNovel(pages, corpus, minWords = 3)
+    val batchFps = batch.select("fp").collect().map(_.getLong(0)).sorted.toSeq
+    assert(batchFps.nonEmpty && batchFps.length < 400)
+    // nothing admitted is in the corpus
+    val corpusSet = corpus.collect().map(_.getLong(0)).toSet
+    assert(batchFps.forall(f => !corpusSet.contains(f)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (String, java.sql.Timestamp, String)]
+    val q = graft.streaming.EventStream.admitNovel(
+        input.toDF().toDF("url", "warc_ts", "text"), corpus,
+        minWords = 3, watermark = "3650 days")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("admitstream").start()
+    val rows = pages.select(col("url"), col("warc_ts"), col("text"))
+      .as[(String, java.sql.Timestamp, String)].collect()
+      .sortBy(_._2.getTime)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    input.addData(b1.toSeq); q.processAllAvailable()
+    input.addData(b2.toSeq); q.processAllAvailable()
+    val got = spark.table("admitstream").select("fp")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    q.stop()
+    // same admitted CONTENT set (keeper urls may differ: batch keeps the
+    // min url per fp, a stream keeps the first arrival)
+    assert(got === batchFps)
+  }
+}
+
 class StatelessStreamSpec extends AnyFunSuite {
   import SharedSpark._
 
