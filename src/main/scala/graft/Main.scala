@@ -118,12 +118,13 @@ object Main {
     // paragraph dedup → span analysis → Gopher gate) snapshot-committed
     // with the same resume/QA discipline as the tile pipeline
     if (args.contains("--curate")) {
-      val cfg = parseArgs(args.filterNot(_ == "--curate"))
+      val cfg = parseArgs(args.filterNot(a => a == "--curate" || a == "--neardup"))
       val spark = session()
       val t0 = System.nanoTime()
       val snap = graft.operators.Curate.run(
         pageTable(spark, cfg), cfg.outDir, cfg.resume,
-        note = s"curate pages=${cfg.nPages} resume=${cfg.resume}")
+        note = s"curate pages=${cfg.nPages} resume=${cfg.resume}",
+        nearDupJaccard = if (args.contains("--neardup")) Some(0.7) else None)
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"committed snapshot ${snap.id} rows=${snap.rows} " +
         f"bytes=${snap.bytes} in $secs%.1f s (${snap.rows / secs}%.1f docs/sec)")

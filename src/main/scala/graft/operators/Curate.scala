@@ -50,17 +50,38 @@ object Curate {
              minWords: Int = 20,
              parasOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
                split(_, "\n"),
-             paraSep: String = "\n"): DataFrame = {
+             paraSep: String = "\n",
+             nearDupJaccard: Option[Double] = None): DataFrame = {
     val norm = pages
       .select(col("url"), TextAnalysis.normalizeText(col("text")).as("text"))
       .filter(length(col("text")) > 0)
       .withColumn("fp", text.fingerprint64(col("text")))
     // exact dedup: deterministic min-url keeper per content fingerprint
     val firstWin = Window.partitionBy("fp").orderBy(col("url").asc)
-    val uniq = norm
+    val exact = norm
       .withColumn("__rn", row_number().over(firstWin))
       .filter(col("__rn") === 1)
       .drop("__rn")
+    // optional fuzzy dedup (the RefinedWeb/FineWeb exact+fuzzy shape):
+    // MinHash-LSH near-dup pairs keyed by the 8-byte content fp →
+    // component closure → keep the LONGEST member (C4 policy; ties →
+    // smaller fp). Banded fan-out carries (band_key, fp) only.
+    val uniq = nearDupJaccard match {
+      case None => exact
+      case Some(tau) =>
+        val pairs = Dedup.minhashPairs(exact, "text", "fp", threshold = tau)
+        val comps = Dedup.connectedComponents(pairs)
+        val lens = exact.select(col("fp").as("id"),
+          length(col("text")).as("__len"))
+        val keepers = comps.join(lens, Seq("id"))
+          .groupBy("cluster_id")
+          .agg(max(struct(col("__len"), (-col("id")).as("nid"))).as("__k"))
+          .select((-col("__k.nid")).as("__keep_fp"))
+        val losers = comps
+          .join(keepers, comps("id") === keepers("__keep_fp"), "left_anti")
+          .select(col("id").as("fp"))
+        exact.join(losers, Seq("fp"), "left_anti")
+    }
     // CCNet paragraph dedup: drop repeated paragraphs corpus-wide
     val para = Dedup
       .paragraphDedup(uniq, "url", parasOf(col("text")), sep = paraSep)
@@ -93,8 +114,9 @@ object Curate {
     * snapshot.
     */
   def run(pages: DataFrame, root: String, resume: Boolean,
-          note: String = "curate"): graft.plans.Lineage.Snapshot = {
-    val curated = curate(pages)
+          note: String = "curate",
+          nearDupJaccard: Option[Double] = None): graft.plans.Lineage.Snapshot = {
+    val curated = curate(pages, nearDupJaccard = nearDupJaccard)
     val pending =
       if (resume) graft.plans.Lineage.pendingOnly(curated, root) else curated
     graft.plans.Lineage.commit(pending, root, note)

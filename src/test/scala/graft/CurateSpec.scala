@@ -33,6 +33,33 @@ class CurateSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("fuzzy stage: near-duplicates collapse to the longest member") {
+    import spark.implicits._
+    val long = "the alpha and beta of the gamma delta epsilon zeta eta " +
+      "theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon " +
+      "phi chi psi omega in the one two three four five six seven eight"
+    val docs = Seq(
+      ("a1", long + " and one more clause to be the longest"),
+      ("a2", long),
+      ("b1", "completely unrelated text with plenty of distinct words " +
+        "covering other topics entirely for this corpus test today"))
+      .toDF("url", "text")
+    // spanMaxFrac = 1.0 disables the span gate so this test isolates the
+    // fuzzy stage (a2 is fully contained in a1, so the span gate alone
+    // would already drop it)
+    val without = Curate.curate(docs, minWords = 3, spanMaxFrac = 1.0)
+      .select("url").collect().map(_.getString(0)).sorted.toSeq
+    val withNd = Curate.curate(docs, minWords = 3, spanMaxFrac = 1.0,
+      nearDupJaccard = Some(0.6))
+    val kept = withNd.select("url").collect().map(_.getString(0)).sorted.toSeq
+    // exact-only keeps both near-dup variants; fuzzy keeps one
+    assert(without.toSet.contains("a1") && without.toSet.contains("a2"))
+    assert(kept.contains("b1"))
+    assert(kept.count(u => u == "a1" || u == "a2") === 1)
+    // the keeper is the LONGEST member
+    assert(kept.contains("a1") && !kept.contains("a2"))
+  }
+
   test("batch resume: committed docs are never re-curated; lineage stays QA-healthy") {
     val root = java.nio.file.Files.createTempDirectory("graft-curate").toString
     // batch 1: first crawl slice
