@@ -168,9 +168,15 @@ object Bench {
       // work or was itself inflated
       def passes(p: (Run, Run)): Boolean =
         effOf(p) >= 0.8 && workRatioOf(p) <= 1.2 && workRatioOf(p) >= 0.8
+      // the reserved budget is measured from the START of the scaling
+      // phase: input generation on a cold /tmp must not eat the retries
+      // (that would recreate the r2 starvation through the back door)
+      val scaleStart = System.nanoTime()
+      def scaleElapsed: Double = (System.nanoTime() - scaleStart) / 1e9
       val pairs = scala.collection.mutable.ArrayBuffer.empty[(Run, Run)]
       while (pairs.isEmpty ||
-          (!pairs.exists(passes) && pairs.length < maxPairs && elapsed < scaleBudget)) {
+          (!pairs.exists(passes) && pairs.length < maxPairs
+            && scaleElapsed < scaleBudget)) {
         pairs += ((once(coresLow), once(coresHigh)))
       }
       // best = highest efficiency among WORK-CONSERVING pairs (a
@@ -233,13 +239,15 @@ object Bench {
     // cannot distinguish that from a real regression.
     val results = if (!doQueries) Seq.empty else headline.map { name =>
       val fn = SparkEntry.queries(name)
-      def rep(): Double = {
-        val (_, secs) = time {
-          try fn(spark, sfDir).count()
+      // None = the rep FAILED: a fast exception must not enter the
+      // min() and mask a real measurement with a near-zero time
+      def rep(): Option[Double] = {
+        val (ok, secs) = time {
+          try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
         }
-        secs
+        if (ok) Some(secs) else None
       }
       qListener.reset()
       val t1 = rep()
@@ -248,9 +256,11 @@ object Bench {
       // past the wall budget, fall back to single-shot so a steal window
       // can't make the sweep unbounded (the scaling gate already ran)
       val t2 = if (elapsed < budget) rep() else t1
-      val reps = if (math.max(t1, t2) / math.max(1e-9, math.min(t1, t2)) > 3.0
-          && elapsed < budget) Seq(t1, t2, rep()) else Seq(t1, t2)
-      (name, reps.min, mb)
+      val disagree = (for (a <- t1; b <- t2) yield
+        math.max(a, b) / math.max(1e-9, math.min(a, b)) > 3.0).getOrElse(false)
+      val reps = (if (disagree && elapsed < budget) Seq(t1, t2, rep())
+                  else Seq(t1, t2)).flatten
+      (name, if (reps.isEmpty) -1.0 else reps.min, mb)
     }
     // headline pipeline measurement in the primary session
     val (pTiles, pSecs) = time(pipeline(spark, pagesPath))

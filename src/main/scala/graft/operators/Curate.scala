@@ -55,13 +55,10 @@ object Curate {
     val norm = pages
       .select(col("url"), TextAnalysis.normalizeText(col("text")).as("text"))
       .filter(length(col("text")) > 0)
-      .withColumn("fp", text.fingerprint64(col("text")))
     // exact dedup: deterministic min-url keeper per content fingerprint
-    val firstWin = Window.partitionBy("fp").orderBy(col("url").asc)
-    val exact = norm
-      .withColumn("__rn", row_number().over(firstWin))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    // (the shared keeper policy), fp retained as the commit key
+    val exact = Dedup.keepFirstByContent(norm, "text", "url",
+      keepFpAs = Some("fp"))
     // optional fuzzy dedup (the RefinedWeb/FineWeb exact+fuzzy shape):
     // MinHash-LSH near-dup pairs keyed by the 8-byte content fp →
     // component closure → keep the LONGEST member (C4 policy; ties →
@@ -92,13 +89,11 @@ object Curate {
       .duplicatedSpans(withPara.select(col("url"),
         col("text_curated").as("text")), "text", "url", spanMinLen)
       .select(col("url"), col("dup_char_frac"))
-    // Gopher gate on the rewritten text
-    val gopher = TextAnalysis
-      .gopherFilters(withPara, "text_curated", "url", minWords = minWords)
-      .select(col("url"), col("n_words"), col("keep"))
-    withPara
-      .join(spans, Seq("url"))
-      .join(gopher, Seq("url"))
+    // Gopher gate on the rewritten text: a pure projection over the
+    // spans-joined frame (preserveCols), so the gate itself adds no join
+    TextAnalysis
+      .gopherFilters(withPara.join(spans, Seq("url")),
+        "text_curated", "url", minWords = minWords, preserveCols = true)
       .filter(col("keep") && col("dup_char_frac") <= spanMaxFrac)
       .select(
         col("fp").as("tile_id"),

@@ -39,6 +39,27 @@ object Dedup {
     * fp-keyed window. Near-dup admission composes downstream (LSH bands
     * of admitted docs vs the corpus band table — same join shape).
     */
+  /** One row per 64-bit content fingerprint: the min-`idCol` keeper —
+    * the in-batch exact-dedup winnow shared by [[incrementalDedup]],
+    * the curation pass, and streaming admission (one definition of the
+    * keeper policy). `keepFpAs` optionally retains the fingerprint
+    * column under that name for downstream keying.
+    */
+  def keepFirstByContent(docs: DataFrame, textCol: String, idCol: String,
+                         keepFpAs: Option[String] = None): DataFrame = {
+    val withFp = docs.withColumn("__kfp", text.fingerprint64(col(textCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__kfp").orderBy(col(idCol).asc)
+    val kept = withFp
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    keepFpAs match {
+      case Some(n) => kept.withColumnRenamed("__kfp", n)
+      case None => kept.drop("__kfp")
+    }
+  }
+
   def incrementalDedup(incoming: DataFrame, corpusFps: DataFrame,
                        textCol: String, idCol: String,
                        fpCol: String = "text_fp"): DataFrame = {
@@ -47,12 +68,8 @@ object Dedup {
     val novel = withFp.join(
       corpusFps.select(col(fpCol).cast("long").as("__fp")),
       Seq("__fp"), "left_anti")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__fp").orderBy(col(idCol).asc)
-    novel
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__fp", "__rn")
+      .drop("__fp")
+    keepFirstByContent(novel, textCol, idCol)
   }
 
   /** Exact duplicated-substring analysis (Lee et al. 2021, "Deduplicating
@@ -446,6 +463,14 @@ object Dedup {
       i += 1
     }
     sym.unpersist()
+    // silent non-convergence would split one true family into several
+    // labels (under-dedup) and diverge from the oracles' full closure —
+    // at least say so; graph diameter > maxIter needs a higher cap or
+    // the large-star/small-star variant noted above
+    if (!converged)
+      System.err.println(s"[dedup] connectedComponents did NOT converge " +
+        s"in $maxIter supersteps — labels may split high-diameter " +
+        "components; raise maxIter for chain-shaped duplicate families")
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 

@@ -192,6 +192,11 @@ object Similarity {
       col(cVec).as("__vec"))
     val seeds = v.filter(pmod(col("vec_id"), lit(seedStride)) === 0)
       .select(col("vec_id").as("__sid"), col("__vec").as("__svec"))
+    // an id space with no multiple of seedStride would otherwise make
+    // the assignment inner join silently drop the ENTIRE corpus
+    require(!seeds.isEmpty,
+      s"semDedup: no vec id is a multiple of seedStride=$seedStride — " +
+        "pick a stride that selects seeds from this id space")
     // assignment: per vector, max (rounded cosine, then smaller seed id);
     // rounding BEFORE the argmax keeps the choice replayable in SQL
     val best = v.crossJoin(broadcast(seeds))

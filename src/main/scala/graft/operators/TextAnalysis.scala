@@ -198,14 +198,21 @@ object TextAnalysis {
                     minWords: Int = 50, maxWords: Int = 100000,
                     minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
                     minStopwords: Int = 2, maxTopWordFrac: Double = 0.2,
-                    maxDup2gramFrac: Double = 0.2): org.apache.spark.sql.DataFrame = {
+                    maxDup2gramFrac: Double = 0.2,
+                    preserveCols: Boolean = false): org.apache.spark.sql.DataFrame = {
     val r = graft.functions.text.gopher_stats(col(textCol))
-    df.select(col(idCol),
+    // preserveCols keeps every input column alongside the stats — the
+    // gate is a pure projection, so downstream consumers (Curate,
+    // streaming admission) must not pay a join to recover their payload
+    // columns; the default stats-only shape is the q58 oracle contract
+    val lead: Seq[org.apache.spark.sql.Column] =
+      if (preserveCols) df.columns.toSeq.map(col) else Seq(col(idCol))
+    df.select((lead ++ Seq(
         r.getItem(0).cast("long").as("n_words"),
         round(r.getItem(1), 6).as("mean_wl"),
         r.getItem(2).cast("long").as("n_stop"),
         round(r.getItem(3), 6).as("top_word_frac"),
-        round(r.getItem(4), 6).as("dup_2gram_frac"))
+        round(r.getItem(4), 6).as("dup_2gram_frac"))): _*)
       .withColumn("flag_n_words",
         col("n_words") >= minWords && col("n_words") <= maxWords)
       .withColumn("flag_word_len",

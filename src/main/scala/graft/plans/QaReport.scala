@@ -82,13 +82,20 @@ object QaReport {
       manifestCounts(root, id) match {
         case None => Seq(Verdict("conservation", id, "fail", 0, 0,
           s"manifest for snapshot $id is unreadable"))
+        case Some((manRows, manBytes))
+            if !Files.isDirectory(Paths.get(root, "data", s"snap-$id")) =>
+          // a lost/deleted data directory is precisely the failure this
+          // check exists to report — a verdict, not a read stack trace
+          Seq(Verdict("conservation", id, "fail", 0, manRows.toDouble,
+            s"data directory for snapshot $id is missing " +
+              s"(manifest claims $manRows rows)"))
         case Some((manRows, manBytes)) =>
           val dataRows = spark.read.parquet(s"$root/data/snap-$id").count()
           val okRows = manRows == mRows && mRows == dataRows
           val okBytes = manBytes == mBytes
           Seq(Verdict("conservation", id,
             if (okRows && okBytes) "pass" else "fail",
-            dataRows, manRows,
+            dataRows.toDouble, manRows.toDouble,
             if (okRows && okBytes)
               s"manifest=$manRows rows / $manBytes B == metrics == data"
             else
@@ -106,10 +113,14 @@ object QaReport {
           f"(gate ≤ $skewFactor%.1f×)")
     }
 
-    // cross-snapshot tile_id disjointness: count duplicate-keyed rows once
-    val overlap = if (active.size < 2) Seq.empty else {
+    // cross-snapshot tile_id disjointness: count duplicate-keyed rows
+    // once (over snapshots whose data still exists — a missing dir is
+    // already reported by the conservation verdict above)
+    val present = active.filter(id =>
+      Files.isDirectory(Paths.get(root, "data", s"snap-$id")))
+    val overlap = if (present.size < 2) Seq.empty else {
       val all = spark.read
-        .parquet(active.map(s => s"$root/data/snap-$s"): _*)
+        .parquet(present.map(s => s"$root/data/snap-$s"): _*)
         .select("tile_id")
       val Array(total, distinct) = all
         .agg(count(lit(1)), count_distinct(col("tile_id")))
@@ -118,7 +129,7 @@ object QaReport {
       val frac = if (total > 0) dup.toDouble / total else 0.0
       Seq(Verdict("overlap", 0L, if (dup == 0) "pass" else "fail",
         frac, 0.0,
-        if (dup == 0) s"$total rows across ${active.size} snapshots, all tile_ids disjoint"
+        if (dup == 0) s"$total rows across ${present.size} snapshots, all tile_ids disjoint"
         else f"$dup duplicate tile rows of $total (${frac * 100}%.1f%% of the table " +
           "re-encoded) — a resume ran without the committed-tile anti-join"))
     }

@@ -89,31 +89,26 @@ object EventStream {
                  watermark: String = "1 hour"): DataFrame = {
     // dedup on the FULL row (dropDuplicates keeps whole first rows), so
     // no join back to the stream is needed — a stream-stream self-join
-    // would demand two watermarks and a time constraint for nothing
-    val fp = pages.withColumn("fp",
-      graft.functions.text.fingerprint64(col("text")))
+    // would demand two watermarks and a time constraint for nothing.
+    // Batch frames reuse the shared min-id keeper (one definition of
+    // the policy); a stream keeps the first ARRIVAL instead — either
+    // way exactly one member per fp survives.
     val deduped =
       if (pages.isStreaming)
-        fp.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark("fp")
-      else { // batch: deterministic min-url keeper (dropDuplicates picks
-             // an arbitrary row; a stream keeps the first ARRIVAL —
-             // either way exactly one member per fp survives)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("fp").orderBy(col("url").asc)
-        fp.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-      }
+        pages.withColumn("fp",
+            graft.functions.text.fingerprint64(col("text")))
+          .withWatermark("warc_ts", watermark)
+          .dropDuplicatesWithinWatermark("fp")
+      else graft.operators.Dedup.keepFirstByContent(
+        pages, "text", "url", keepFpAs = Some("fp"))
     val novel = deduped.join(
       corpusFps.select(col(fpCol).cast("long").as("fp")),
       Seq("fp"), "left_anti")
-    // the id threaded through the gate is a struct so fp survives the
-    // gate's projection without a second (stream-stream) join back
     graft.operators.TextAnalysis
-      .gopherFilters(novel.withColumn("__id",
-        struct(col("url"), col("fp"))), "text", "__id", minWords = minWords)
+      .gopherFilters(novel, "text", "url", minWords = minWords,
+        preserveCols = true)
       .filter(col("keep"))
-      .select(col("__id.url").as("url"), col("__id.fp").as("fp"),
-        col("n_words"))
+      .select(col("url"), col("fp"), col("n_words"))
   }
 
   final case class SessionUpdate(user_id: Long, n_events: Long,

@@ -26,6 +26,29 @@ class QaReportSpec extends AnyFunSuite {
       Seq("stage", "snapshot_id", "status", "metric", "threshold", "reason"))
   }
 
+  test("a lost data directory yields a conservation FAIL verdict, not a crash") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-qa-lost").toString
+    Lineage.commit((0L until 50L).map(id => (id, 100L))
+      .toDF("tile_id", "byte_len").repartition(2), root, "one")
+    Lineage.commit((50L until 90L).map(id => (id, 100L))
+      .toDF("tile_id", "byte_len").repartition(2), root, "two")
+    // simulate filesystem loss of snapshot 1's data
+    def rmdir(p: java.nio.file.Path): Unit = {
+      val it = java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder()).iterator()
+      while (it.hasNext) java.nio.file.Files.deleteIfExists(it.next())
+    }
+    rmdir(java.nio.file.Paths.get(root, "data", "snap-1"))
+    val vs = QaReport.verdicts(spark, root)
+    val c1 = vs.find(v => v.stage == "conservation" && v.snapshotId == 1L).get
+    assert(!c1.ok)
+    assert(c1.reason.contains("missing"), c1.reason)
+    // the surviving snapshot still gets its verdicts and the report renders
+    assert(vs.exists(v => v.stage == "conservation" && v.snapshotId == 2L && v.ok))
+    assert(QaReport.summary(vs).startsWith("Lineage looks **degraded**"))
+  }
+
   test("seeded defects: each trips its own verdict (overlap, skew, drift, conservation)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-qa-bad").toString
