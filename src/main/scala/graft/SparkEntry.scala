@@ -688,6 +688,22 @@ object SparkEntry {
         .map { case ((a, b), i) => (i.toLong, a, b) }
         .toDF("ord", "left", "right")
     }),
+    // ---- cluster-balanced sampling (topic balancing): seed-assign
+    //      the embedding space (q76's clustering), then thin every
+    //      cluster to UNIFORM output shares with maximal retention
+    //      (q77's mixture math over cluster ids). Both building blocks
+    //      are SQL-replayable, so the composition is too ----
+    "q80_cluster_balance" -> ((s, dir) => {
+      val assigned = graft.operators.Similarity
+        .seedAssign(t(s, dir, "embeddings"), seedStride = 37L)
+      val clusters = assigned.select("cluster_id").distinct()
+        .collect().map(_.getLong(0)).sorted
+      val w = 1.0 / clusters.length
+      graft.operators.Sampling.toMixture(assigned, col("cluster_id"),
+          graft.operators.Sampling.portableUniform(col("vec_id")),
+          clusters.map(c => c.toString -> w).toMap)
+        .select(col("vec_id"), col("cluster_id"))
+    }),
     // ---- the COMPOSED curation pass (Main --curate's operator chain)
     //      verified end-to-end by one SQL replay: normalize → exact
     //      dedup (min-url keeper; oracle groups by content where the
@@ -1460,6 +1476,43 @@ object SparkEntry {
         |  round(CASE WHEN n = 0 THEN 0.0 ELSE topw * 1.0 / n END, 6) AS top_word_frac,
         |  round(CASE WHEN n < 2 THEN 0.0 ELSE topb * 1.0 / (n - 1) END, 6) AS top_2gram_frac
         |FROM agg""".stripMargin,
+    "q80_cluster_balance" ->
+      // q76's seed-assignment CTEs + q77's mixture arithmetic over
+      // cluster ids with uniform targets w = 1/k; identical double
+      // operation order and the same LCG coin → identical row set
+      """WITH v AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+        |seeds AS MATERIALIZED (
+        |  SELECT vec_id AS sid, embedding AS svec FROM v WHERE vec_id % 37 = 0),
+        |asg0 AS (
+        |  SELECT v.vec_id, s.sid,
+        |    round(list_sum(list_transform(range(1, len(v.embedding) + 1),
+        |        i -> CAST(v.embedding[i] AS DOUBLE) * CAST(s.svec[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(v.embedding,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(s.svec,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS c
+        |  FROM v CROSS JOIN seeds s),
+        |assigned AS MATERIALIZED (
+        |  SELECT vec_id, sid AS cluster_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY c DESC, sid ASC) AS rn FROM asg0)
+        |  WHERE rn = 1),
+        |k AS (SELECT count(DISTINCT cluster_id) AS k FROM assigned),
+        |c AS MATERIALIZED (
+        |  SELECT cluster_id, count(*) AS n FROM assigned GROUP BY 1),
+        |w AS MATERIALIZED (
+        |  SELECT c.cluster_id, CAST(1.0 AS DOUBLE) / k.k AS wt
+        |  FROM c CROSS JOIN k),
+        |sc AS (SELECT min(c.n / w.wt) AS s FROM c JOIN w USING (cluster_id)),
+        |r AS (SELECT w.cluster_id, w.wt / c.n * sc.s AS rate
+        |      FROM w JOIN c USING (cluster_id) CROSS JOIN sc),
+        |u AS (SELECT vec_id, cluster_id,
+        |  CAST((1103515245 * (vec_id % 2147483647) + 12345) % 2147483647
+        |       AS DOUBLE) / 2147483647.0 AS u
+        |  FROM assigned)
+        |SELECT u.vec_id, CAST(u.cluster_id AS BIGINT) AS cluster_id
+        |FROM u JOIN r USING (cluster_id)
+        |WHERE u.u < r.rate""".stripMargin,
     "q79_curate" ->
       // the whole curation chain replayed: exact dedup by CONTENT
       // (engine: by 64-bit fp — equivalent minus hash collisions),

@@ -71,13 +71,16 @@ object Sampling {
   def toMixture(df: DataFrame, domainCol: Column, u: Column,
                 weights: Map[String, Double]): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0))
-    val counts = df.groupBy(domainCol.as("__d")).agg(count(lit(1)).as("__n"))
+    // domain keys compare as strings so any groupable key type works
+    // (language codes, cluster ids, hosts)
+    val counts = df.groupBy(domainCol.cast("string").as("__d"))
+      .agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val present = weights.filter { case (d, _) => counts.getOrElse(d, 0L) > 0L }
     require(present.nonEmpty, "no weighted domain present in the data")
     val s = present.map { case (d, w) => counts(d) / w }.min
     val rate = present.foldLeft(lit(0.0)) { case (acc, (d, w)) =>
-      when(domainCol === d, lit(w / counts(d) * s)).otherwise(acc)
+      when(domainCol.cast("string") === d, lit(w / counts(d) * s)).otherwise(acc)
     }
     df.filter(u < rate)
   }

@@ -185,9 +185,18 @@ object Similarity {
     *
     * Returns (vec_id, cluster_id, cos_centroid, keep).
     */
-  def semDedup(vecs: DataFrame, seedStride: Long, tau: Double,
-               cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    require(seedStride > 0 && tau > 0)
+  /** Seed-cluster assignment: every `seedStride`-th corpus vector is a
+    * centroid; each vector joins its max-cosine seed (rounded cosine,
+    * smaller seed id on ties — rounding BEFORE the argmax keeps the
+    * choice replayable in SQL). Returns the materialized frame
+    * (vec_id, __vec, cos_centroid, cluster_id) — eager localCheckpoint
+    * because callers fan it into several consumers. Shared by
+    * [[semDedup]] and cluster-balanced sampling (q80).
+    */
+  def seedAssign(vecs: DataFrame, seedStride: Long,
+                 cId: String = "vec_id",
+                 cVec: String = "embedding"): DataFrame = {
+    require(seedStride > 0)
     val v = vecs.select(col(cId).cast("long").as("vec_id"),
       col(cVec).as("__vec"))
     val seeds = v.filter(pmod(col("vec_id"), lit(seedStride)) === 0)
@@ -195,10 +204,8 @@ object Similarity {
     // an id space with no multiple of seedStride would otherwise make
     // the assignment inner join silently drop the ENTIRE corpus
     require(!seeds.isEmpty,
-      s"semDedup: no vec id is a multiple of seedStride=$seedStride — " +
+      s"seedAssign: no vec id is a multiple of seedStride=$seedStride — " +
         "pick a stride that selects seeds from this id space")
-    // assignment: per vector, max (rounded cosine, then smaller seed id);
-    // rounding BEFORE the argmax keeps the choice replayable in SQL
     val best = v.crossJoin(broadcast(seeds))
       .groupBy("vec_id")
       .agg(max(struct(
@@ -206,12 +213,17 @@ object Similarity {
         (-col("__sid")).as("ns"))).as("__m"))
       .select(col("vec_id"), col("__m.c").as("cos_centroid"),
         (-col("__m.ns")).as("cluster_id"))
-    // materialize the assignment ONCE: it feeds the (eager) component
-    // closure, the keeper choice, and the output join — without this the
-    // k-fanout argmax re-runs three times (visible as two duplicated
-    // subtrees in the physical plan). Eager localCheckpoint so the
-    // blocks release with the result (Tiler pyramid discipline).
-    val assigned = v.join(best, Seq("vec_id")).localCheckpoint(true)
+    v.join(best, Seq("vec_id")).localCheckpoint(true)
+  }
+
+  def semDedup(vecs: DataFrame, seedStride: Long, tau: Double,
+               cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    require(tau > 0)
+    // the assignment is materialized ONCE (inside seedAssign): it feeds
+    // the (eager) component closure, the keeper choice, and the output
+    // join — without this the k-fanout argmax re-runs three times
+    // (visible as two duplicated subtrees in the physical plan).
+    val assigned = seedAssign(vecs, seedStride, cId, cVec)
     // in-cluster duplicate pairs (id_a < id_b, rounded cosine ≥ tau)
     val a = assigned.select(col("cluster_id"), col("vec_id").as("id_a"),
       col("__vec").as("__va"))

@@ -428,6 +428,29 @@ class SamplingSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(a === b)
   }
+
+  test("cluster-balanced sampling flattens topic skew; smallest cluster keeps all") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val assigned = graft.operators.Similarity.seedAssign(e, 37L)
+    val before = assigned.groupBy("cluster_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clusters = before.keys.toSeq.sorted
+    val w = 1.0 / clusters.length
+    val out = Sampling.toMixture(assigned, col("cluster_id"),
+      Sampling.portableUniform(col("vec_id")),
+      clusters.map(c => c.toString -> w).toMap)
+    val after = out.groupBy("cluster_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the binding (smallest) cluster keeps every member
+    val binding = before.minBy(_._2)._1
+    assert(after(binding) === before(binding))
+    // shares flatten: post-sample spread is far tighter than the input's
+    // (coin variance on ~tens-per-cluster strata — loose gate)
+    val spreadBefore = before.values.max.toDouble / before.values.min
+    val spreadAfter = after.values.max.toDouble / math.max(1L, after.values.min)
+    assert(spreadAfter <= math.max(2.5, spreadBefore / 1.5),
+      s"before $spreadBefore after $spreadAfter")
+  }
 }
 
 class HllSpec extends AnyFunSuite {
