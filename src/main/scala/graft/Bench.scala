@@ -258,7 +258,12 @@ object Bench {
       val t2 = if (elapsed < budget) rep() else t1
       val disagree = (for (a <- t1; b <- t2) yield
         math.max(a, b) / math.max(1e-9, math.min(a, b)) > 3.0).getOrElse(false)
-      val reps = (if (disagree && elapsed < budget) Seq(t1, t2, rep())
+      // retry when the two reps disagree >3× OR only one survived — a
+      // lone rep could be the steal-inflated one and must not publish
+      // unguarded
+      val lone = Seq(t1, t2).flatten.size == 1
+      val reps = (if ((disagree || lone) && elapsed < budget)
+                    Seq(t1, t2, rep())
                   else Seq(t1, t2)).flatten
       (name, if (reps.isEmpty) -1.0 else reps.min, mb)
     }
@@ -273,7 +278,9 @@ object Bench {
       .mkString("{", ",", "}")
     val shuf = results.map { case (k, _, mb) => "\"" + k + "\":" + fmt(mb, 1) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + pipeBest
+    // failed queries report -1 per-query; they must not SUBTRACT from
+    // the headline total (a failing sweep would otherwise look faster)
+    val total = results.map(_._2).filter(_ >= 0).sum + pipeBest
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""shuffle_write_mb":$shuf,""" +
       s""""sf":"$sfDir","pages":$nPages,"gen_sec":${fmt(genSecs)},"tiles":$pTiles,""" +

@@ -696,12 +696,8 @@ object SparkEntry {
     "q80_cluster_balance" -> ((s, dir) => {
       val assigned = graft.operators.Similarity
         .seedAssign(t(s, dir, "embeddings"), seedStride = 37L)
-      val clusters = assigned.select("cluster_id").distinct()
-        .collect().map(_.getLong(0)).sorted
-      val w = 1.0 / clusters.length
-      graft.operators.Sampling.toMixture(assigned, col("cluster_id"),
-          graft.operators.Sampling.portableUniform(col("vec_id")),
-          clusters.map(c => c.toString -> w).toMap)
+      graft.operators.Sampling.balanceByKey(assigned, col("cluster_id"),
+          graft.operators.Sampling.portableUniform(col("vec_id")))
         .select(col("vec_id"), col("cluster_id"))
     }),
     // ---- the COMPOSED curation pass (Main --curate's operator chain)

@@ -56,9 +56,13 @@ object Curate {
       .select(col("url"), TextAnalysis.normalizeText(col("text")).as("text"))
       .filter(length(col("text")) > 0)
     // exact dedup: deterministic min-url keeper per content fingerprint
-    // (the shared keeper policy), fp retained as the commit key
+    // (the shared keeper policy), fp retained as the commit key.
+    // Materialized once: it feeds the fuzzy stage's banded scan + text
+    // verify + length table + anti-join when --neardup is on, and the
+    // paragraph explode + fp/url join always — without this the
+    // normalize/hash/window chain re-runs per consumer.
     val exact = Dedup.keepFirstByContent(norm, "text", "url",
-      keepFpAs = Some("fp"))
+      keepFpAs = Some("fp")).localCheckpoint(true)
     // optional fuzzy dedup (the RefinedWeb/FineWeb exact+fuzzy shape):
     // MinHash-LSH near-dup pairs keyed by the 8-byte content fp →
     // component closure → keep the LONGEST member (C4 policy; ties →
@@ -77,7 +81,9 @@ object Curate {
         val losers = comps
           .join(keepers, comps("id") === keepers("__keep_fp"), "left_anti")
           .select(col("id").as("fp"))
-        exact.join(losers, Seq("fp"), "left_anti")
+        // two downstream consumers (paragraph explode + the fp/url join)
+        // — don't re-run the anti-join per consumer
+        exact.join(losers, Seq("fp"), "left_anti").localCheckpoint(true)
     }
     // CCNet paragraph dedup: drop repeated paragraphs corpus-wide
     val para = Dedup

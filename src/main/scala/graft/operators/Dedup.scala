@@ -46,8 +46,15 @@ object Dedup {
     * column under that name for downstream keying.
     */
   def keepFirstByContent(docs: DataFrame, textCol: String, idCol: String,
-                         keepFpAs: Option[String] = None): DataFrame = {
-    val withFp = docs.withColumn("__kfp", text.fingerprint64(col(textCol)))
+                         keepFpAs: Option[String] = None,
+                         precomputedFp: Option[String] = None): DataFrame = {
+    // reuse a caller-provided fingerprint column when one already exists
+    // (the incremental path computed it for its anti-join) — full-text
+    // hashing is the expensive part of this winnow
+    val withFp = precomputedFp match {
+      case Some(c) => docs.withColumn("__kfp", col(c))
+      case None => docs.withColumn("__kfp", text.fingerprint64(col(textCol)))
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__kfp").orderBy(col(idCol).asc)
     val kept = withFp
@@ -68,8 +75,8 @@ object Dedup {
     val novel = withFp.join(
       corpusFps.select(col(fpCol).cast("long").as("__fp")),
       Seq("__fp"), "left_anti")
-      .drop("__fp")
-    keepFirstByContent(novel, textCol, idCol)
+    keepFirstByContent(novel, textCol, idCol,
+      precomputedFp = Some("__fp")).drop("__fp")
   }
 
   /** Exact duplicated-substring analysis (Lee et al. 2021, "Deduplicating

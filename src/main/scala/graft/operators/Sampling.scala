@@ -85,6 +85,30 @@ object Sampling {
     df.filter(u < rate)
   }
 
+  /** Balance to UNIFORM output shares across an UNBOUNDED key domain
+    * (e.g. embedding clusters, whose count grows with the corpus):
+    * unlike [[toMixture]] — whose literal-rate CaseWhen requires the
+    * domain list to be driver-bounded — the per-key rates here are a
+    * DataFrame ((key, rate) — one row per key) broadcast-joined to the
+    * input, so nothing key-cardinality-sized touches the driver or the
+    * plan. Rate math matches toMixture with w = 1/k exactly:
+    * r_key = (w / n_key) · min(n_key / w) — the scarcest key keeps all
+    * rows, every other thins to match.
+    */
+  def balanceByKey(df: DataFrame, keyCol: Column, u: Column): DataFrame = {
+    val counts = df.groupBy(keyCol.as("__d")).agg(count(lit(1)).as("__n"))
+    val k = counts.agg(count(lit(1)).as("__k"))
+    val wt = lit(1.0) / col("__k")
+    val withW = counts.crossJoin(broadcast(k))
+      .withColumn("__wt", wt)
+    val s = withW.agg(min(col("__n") / col("__wt")).as("__s"))
+    val rates = withW.crossJoin(broadcast(s))
+      .select(col("__d"), (col("__wt") / col("__n") * col("__s")).as("__rate"))
+    df.join(broadcast(rates), keyCol === col("__d"))
+      .filter(u < col("__rate"))
+      .drop("__d", "__rate")
+  }
+
   /** Exactly `n` rows per key (all rows when the key has fewer):
     * deterministic "reservoir" = the n smallest hash values per key.
     * One shuffle on the key; ties broken by the tiebreak column so the

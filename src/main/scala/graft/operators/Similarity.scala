@@ -199,10 +199,13 @@ object Similarity {
     require(seedStride > 0)
     val v = vecs.select(col(cId).cast("long").as("vec_id"),
       col(cVec).as("__vec"))
+    // seeds materialize once (they broadcast anyway), so the emptiness
+    // guard reads the checkpoint instead of re-scanning the corpus; an
+    // id space with no multiple of seedStride would otherwise make the
+    // assignment inner join silently drop the ENTIRE corpus
     val seeds = v.filter(pmod(col("vec_id"), lit(seedStride)) === 0)
       .select(col("vec_id").as("__sid"), col("__vec").as("__svec"))
-    // an id space with no multiple of seedStride would otherwise make
-    // the assignment inner join silently drop the ENTIRE corpus
+      .localCheckpoint(true)
     require(!seeds.isEmpty,
       s"seedAssign: no vec id is a multiple of seedStride=$seedStride — " +
         "pick a stride that selects seeds from this id space")

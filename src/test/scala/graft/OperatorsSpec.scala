@@ -434,11 +434,8 @@ class SamplingSpec extends AnyFunSuite {
     val assigned = graft.operators.Similarity.seedAssign(e, 37L)
     val before = assigned.groupBy("cluster_id").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val clusters = before.keys.toSeq.sorted
-    val w = 1.0 / clusters.length
-    val out = Sampling.toMixture(assigned, col("cluster_id"),
-      Sampling.portableUniform(col("vec_id")),
-      clusters.map(c => c.toString -> w).toMap)
+    val out = Sampling.balanceByKey(assigned, col("cluster_id"),
+      Sampling.portableUniform(col("vec_id")))
     val after = out.groupBy("cluster_id").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     // the binding (smallest) cluster keeps every member
