@@ -9,6 +9,12 @@ import org.apache.spark.sql.functions._
   * on both sides (driver hashes by sorted column name).
   */
 object SparkEntry {
+  /** DECOMPOSED combining sequences (e+ACUTE, A+RING, o+DIAERESIS) used
+    * by q81; defined once so the Spark query and the SQL oracle carry
+    * byte-identical input — NFC must compose all three (length −3).
+    */
+  private val NfcSuffix = " caf" + "é" + " Å" + " ö"
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -687,6 +693,18 @@ object SparkEntry {
         .zipWithIndex
         .map { case ((a, b), i) => (i.toLong, a, b) }
         .toDF("ord", "left", "right")
+    }),
+    // ---- Unicode NFC normalization (mC4/CCNet step): decomposed
+    //      combining sequences are injected in-query (SQL-replicable),
+    //      composed by the codegen'd nfc_normalize kernel; DuckDB's
+    //      nfc_normalize is the independent oracle ----
+    "q81_nfc_normalize" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"), lit(NfcSuffix)).as("raw"))
+        .select(col("doc_id"),
+          length(col("raw")).cast("long").as("n_raw"),
+          graft.functions.text.nfc_normalize(col("raw")).as("nfc"))
+        .withColumn("n_nfc", length(col("nfc")).cast("long"))
     }),
     // ---- cluster-balanced sampling (topic balancing): seed-assign
     //      the embedding space (q76's clustering), then thin every
@@ -1472,6 +1490,18 @@ object SparkEntry {
         |  round(CASE WHEN n = 0 THEN 0.0 ELSE topw * 1.0 / n END, 6) AS top_word_frac,
         |  round(CASE WHEN n < 2 THEN 0.0 ELSE topb * 1.0 / (n - 1) END, 6) AS top_2gram_frac
         |FROM agg""".stripMargin,
+    "q81_nfc_normalize" ->
+      // same decomposed suffix literal (interpolated from the one
+      // Scala constant, so both sides carry byte-identical combining
+      // sequences); DuckDB nfc_normalize recomposes independently
+      s"""WITH raw AS (
+        |  SELECT doc_id, text || '$NfcSuffix' AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(raw) AS BIGINT) AS n_raw,
+        |  nfc_normalize(raw) AS nfc,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_nfc
+        |FROM raw""".stripMargin,
     "q80_cluster_balance" ->
       // q76's seed-assignment CTEs + q77's mixture arithmetic over
       // cluster ids with uniform targets w = 1/k; identical double

@@ -191,10 +191,30 @@ case class JaccardShinglesExpr(left: Expression, right: Expression, n: Int)
     copy(left = l, right = r)
 }
 
+/** Unicode NFC canonical composition (the mC4/CCNet normalization step:
+  * 'e' + COMBINING ACUTE and precomposed 'é' must fingerprint and dedup
+  * identically). JDK java.text.Normalizer via a static shim so the call
+  * stays inside whole-stage codegen; DuckDB's nfc_normalize() gives the
+  * independent oracle (q81).
+  */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+  override protected def nullSafeEval(s: Any): Any =
+    UTF8String.fromString(
+      graft.core.UnicodeNorm.nfc(s.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.core.UnicodeNorm.nfc($s.toString()))")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 object text {
   import org.apache.spark.sql.GraftBridge.{column, expression}
 
   def fingerprint64(c: Column): Column = column(Fingerprint64Expr(expression(c)))
+  def nfc_normalize(c: Column): Column = column(NfcNormalizeExpr(expression(c)))
   def simhash64(c: Column): Column = column(SimHash64Expr(expression(c)))
   def minhash(c: Column, k: Int, shingle: Int): Column =
     column(MinHashExpr(expression(c), k, shingle))
