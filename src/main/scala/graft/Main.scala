@@ -114,6 +114,48 @@ object Main {
       spark.stop()
       return
     }
+    // streaming ingestion mode: watch a directory of page parquet, run
+    // the tile pipeline per micro-batch, commit each batch exactly once
+    // through the snapshot layer (StreamCommit), and skip tiles already
+    // committed by ANY earlier batch or run (the resume anti-join) —
+    // live ingest and batch backfill share one table and one discipline.
+    // Trigger.AvailableNow drains what exists and stops, so the mode is
+    // driveable as a CLI; a long-lived deployment would use a processing
+    // -time trigger instead.
+    if (args.contains("--stream")) {
+      val positional = args.filterNot(_.startsWith("--"))
+      val outDir = positional.headOption.getOrElse("/tmp/graft-tiles")
+      val watchDir = positional.lift(1).getOrElse(s"$outDir/incoming")
+      val zooms = positional.lift(2).map(_.split(",").map(_.toInt).toSeq)
+        .getOrElse(Seq(4, 8, 12))
+      val spark = session()
+      val pageSchema = org.apache.spark.sql.Encoders
+        .product[graft.sources.Page].schema
+      val pages = spark.readStream.schema(pageSchema).parquet(watchDir)
+      val query = pages.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          val features = graft.operators.GeoPipeline
+            .pagesToFeatures(spark, batch)
+            .filter(col("lat").isNotNull && col("lon").isNotNull)
+          val zoomed = graft.operators.Tiler.assignTiles(features, zooms)
+          val pending = graft.plans.Lineage.pendingOnly(zoomed, outDir)
+          val tiles = graft.operators.Tiler.tilesWithStats(
+            graft.operators.Tiler.encodeTiles(pending))
+          graft.plans.StreamCommit.commitBatch(outDir, "stream-tiles")(
+            tiles, bid) match {
+            case Some(snap) => println(
+              s"committed snapshot ${snap.id} rows=${snap.rows} " +
+                s"bytes=${snap.bytes} (stream batch $bid)")
+            case None => println(s"stream batch $bid already committed — skipped")
+          }
+        }
+        .option("checkpointLocation", s"$outDir/stream-checkpoint")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      spark.stop()
+      return
+    }
     // curation mode: the training-data pass (normalize → exact dedup →
     // paragraph dedup → span analysis → Gopher gate) snapshot-committed
     // with the same resume/QA discipline as the tile pipeline
