@@ -250,6 +250,40 @@ class GeoparseSpec extends AnyFunSuite {
   }
 }
 
+class UnicodeNormSpec extends AnyFunSuite {
+  import SharedSpark._
+  import org.apache.spark.sql.functions.col
+
+  test("NFC kernel composes decomposed sequences; expression stays codegen'd") {
+    import spark.implicits._
+    val decomposed = "caf" + "é" + " Å " + "ö"
+    val precomposed = "café Å ö"
+    assert(graft.core.UnicodeNorm.nfc(decomposed) === precomposed)
+    assert(graft.core.UnicodeNorm.nfc(precomposed) eq precomposed) // fast path
+    // both spellings fingerprint identically after normalization — the
+    // property dedup needs
+    val df = Seq((1L, decomposed), (2L, precomposed)).toDF("id", "t")
+      .select(col("id"), graft.functions.text.fingerprint64(
+        graft.functions.text.nfc_normalize(col("t"))).as("fp"))
+    val fps = df.collect().map(_.getLong(1))
+    assert(fps(0) === fps(1))
+    // kernel parity with the expression path on corpus text
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    val got = docs.select(col("doc_id"),
+        graft.functions.text.nfc_normalize(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.select("doc_id", "text").collect().foreach { r =>
+      assert(got(r.getLong(0)) === graft.core.UnicodeNorm.nfc(r.getString(1)))
+    }
+    // whole-stage codegen: the projection carries the codegen marker
+    spark.catalog.clearCache()
+    val plan = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(graft.functions.text.nfc_normalize(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan.take(600))
+  }
+}
+
 class TextHashSpec extends AnyFunSuite {
   test("fingerprint/simhash determinism and discrimination") {
     val a = "the quick brown fox jumps over the lazy dog"
