@@ -227,7 +227,8 @@ object Bench {
       "q62_hotspot", "q63_quality_classifier", "q65_dup_spans",
       "q66_sessionize", "q67_perplexity", "q68_dsir_weights",
       "q76_semdedup", "q77_mixture_sample", "q78_remove_spans",
-      "q79_curate", "q80_cluster_balance", "q81_nfc_normalize")
+      "q79_curate", "q80_cluster_balance", "q81_nfc_normalize",
+      "q82_corpus_report")
     val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") == "1"
     // per-query shuffle-write MB: the plan-quality evidence (a payload
     // riding a fan-out is visible here regardless of wall clock)

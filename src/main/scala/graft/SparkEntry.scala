@@ -694,6 +694,25 @@ object SparkEntry {
         .map { case ((a, b), i) => (i.toLong, a, b) }
         .toDF("ord", "left", "right")
     }),
+    // ---- corpus report card (the dataset datasheet a release ships):
+    //      per language — doc/word volume, length percentiles, quality
+    //      keep rate. One gopher projection + one hash agg; every
+    //      number independently recomputed by the oracle ----
+    "q82_corpus_report" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val g = graft.operators.TextAnalysis
+        .gopherFilters(d, "text", "doc_id", minWords = 30)
+        .select(col("doc_id"), col("n_words"), col("keep"))
+      d.select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(g, Seq("doc_id"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_words").as("total_words"),
+          round(expr("percentile(n_chars, 0.5)"), 6).as("p50_chars"),
+          round(expr("percentile(n_chars, 0.9)"), 6).as("p90_chars"),
+          round(avg(when(col("keep"), 1.0).otherwise(0.0)), 6).as("keep_rate"))
+    }),
     // ---- Unicode NFC normalization (mC4/CCNet step): decomposed
     //      combining sequences are injected in-query (SQL-replicable),
     //      composed by the codegen'd nfc_normalize kernel; DuckDB's
@@ -1490,6 +1509,44 @@ object SparkEntry {
         |  round(CASE WHEN n = 0 THEN 0.0 ELSE topw * 1.0 / n END, 6) AS top_word_frac,
         |  round(CASE WHEN n < 2 THEN 0.0 ELSE topb * 1.0 / (n - 1) END, 6) AS top_2gram_frac
         |FROM agg""".stripMargin,
+    "q82_corpus_report" ->
+      // per-language datasheet re-derived: q58's gopher keep formula at
+      // minWords=30, continuous percentiles, word totals
+      """WITH toks AS (
+        |  SELECT doc_id, lang, n_chars, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS tk,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS ltk
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, lang, n_chars, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(tk) END AS n,
+        |    tk, ltk,
+        |    list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS bg
+        |  FROM toks),
+        |agg AS (
+        |  SELECT doc_id, lang, n_chars, n,
+        |    round(CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |      ELSE list_sum(list_transform(tk, t -> length(t))) * 1.0 / len(tk) END, 6) AS mean_wl,
+        |    len(list_filter(ltk, t -> t IN ('the','a','an','and','or','of','to',
+        |      'in','is','it','on','for','with','as','by','at'))) AS nstop,
+        |    round(CASE WHEN n = 0 THEN 0.0 ELSE
+        |      list_max(list_transform(list_distinct(tk),
+        |        w -> len(list_filter(tk, t -> t = w)))) * 1.0 / n END, 6) AS top_word_frac,
+        |    round(CASE WHEN n < 2 THEN 0.0
+        |      ELSE 1.0 - len(list_distinct(bg)) * 1.0 / (n - 1) END, 6) AS dup_2gram_frac
+        |  FROM base),
+        |flags AS (
+        |  SELECT lang, n_chars, n,
+        |    (n >= 30 AND n <= 100000 AND mean_wl >= 3.0 AND mean_wl <= 10.0
+        |      AND nstop >= 2 AND top_word_frac <= 0.2
+        |      AND dup_2gram_frac <= 0.2) AS keep
+        |  FROM agg)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS total_words,
+        |  round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+        |  round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+        |  round(avg(CASE WHEN keep THEN 1.0 ELSE 0.0 END), 6) AS keep_rate
+        |FROM flags GROUP BY lang""".stripMargin,
     "q81_nfc_normalize" ->
       // same decomposed suffix literal (interpolated from the one
       // Scala constant, so both sides carry byte-identical combining
