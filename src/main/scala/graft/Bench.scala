@@ -228,7 +228,7 @@ object Bench {
       "q66_sessionize", "q67_perplexity", "q68_dsir_weights",
       "q76_semdedup", "q77_mixture_sample", "q78_remove_spans",
       "q79_curate", "q80_cluster_balance", "q81_nfc_normalize",
-      "q82_corpus_report")
+      "q82_corpus_report", "q83_blocklist", "q84_host_budget")
     val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") == "1"
     // per-query shuffle-write MB: the plan-quality evidence (a payload
     // riding a fan-out is visible here regardless of wall clock)

@@ -694,6 +694,27 @@ object SparkEntry {
         .map { case ((a, b), i) => (i.toLong, a, b) }
         .toDF("ord", "left", "right")
     }),
+    // ---- domain blocklist (crawl admission): drop blocked domains and
+    //      their subdomains — a zero-shuffle codegen'd filter ----
+    "q83_blocklist" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), synthUrl(col("doc_id")).as("url"))
+      graft.operators.UrlGovernance
+        .filterBlockedHosts(d, col("url"), Seq("example.org"))
+        .select(col("doc_id"),
+          graft.functions.url.host(col("url")).as("host"))
+    }),
+    // ---- per-host crawl budget: deterministic reservoir of ≤20 docs
+    //      per canonical host (content-keyed coin, replayable) ----
+    "q84_host_budget" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), synthUrl(col("doc_id")).as("url"))
+      graft.operators.UrlGovernance.perHostCap(d, col("url"), n = 20,
+          u = graft.operators.Sampling.portableUniform(col("doc_id")),
+          tiebreak = col("doc_id"))
+        .select(col("doc_id"),
+          graft.functions.url.host(col("url")).as("host"))
+    }),
     // ---- corpus report card (the dataset datasheet a release ships):
     //      per language — doc/word volume, length percentiles, quality
     //      keep rate. One gopher projection + one hash agg; every
@@ -1509,6 +1530,35 @@ object SparkEntry {
         |  round(CASE WHEN n = 0 THEN 0.0 ELSE topw * 1.0 / n END, 6) AS top_word_frac,
         |  round(CASE WHEN n < 2 THEN 0.0 ELSE topb * 1.0 / (n - 1) END, 6) AS top_2gram_frac
         |FROM agg""".stripMargin,
+    "q83_blocklist" ->
+      // same canonical-host rule as q57's oracle + suffix-match filter
+      s"""WITH synth AS (
+         |  SELECT doc_id, $synthUrlSql AS url FROM documents),
+         |hosts AS (
+         |  SELECT doc_id,
+         |    regexp_replace(regexp_replace(
+         |      lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1)),
+         |      ':[0-9]+$$', ''), '^www\\.', '') AS host
+         |  FROM synth)
+         |SELECT doc_id, host FROM hosts
+         |WHERE NOT (host = 'example.org' OR host LIKE '%.example.org')""".stripMargin,
+    "q84_host_budget" ->
+      // reservoir replay: the same LCG coin ranks per host; keep 20
+      s"""WITH synth AS (
+         |  SELECT doc_id, $synthUrlSql AS url FROM documents),
+         |hosts AS (
+         |  SELECT doc_id,
+         |    regexp_replace(regexp_replace(
+         |      lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1)),
+         |      ':[0-9]+$$', ''), '^www\\.', '') AS host,
+         |    CAST((1103515245 * (doc_id % 2147483647) + 12345) % 2147483647
+         |         AS DOUBLE) / 2147483647.0 AS u
+         |  FROM synth)
+         |SELECT doc_id, host FROM (
+         |  SELECT doc_id, host,
+         |    row_number() OVER (PARTITION BY host ORDER BY u, doc_id) AS rn
+         |  FROM hosts)
+         |WHERE rn <= 20""".stripMargin,
     "q82_corpus_report" ->
       // per-language datasheet re-derived: q58's gopher keep formula at
       // minWords=30, continuous percentiles, word totals

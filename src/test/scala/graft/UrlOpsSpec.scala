@@ -74,6 +74,39 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(out.queryExecution.executedPlan.toString.contains("*(1) Project"))
   }
 
+  test("blocklist drops domains AND subdomains as a zero-shuffle filter; host cap bounds every host") {
+    import spark.implicits._
+    import graft.operators.{Sampling, UrlGovernance}
+    val urls = Seq(
+      (1L, "https://example.org/x"), (2L, "https://blog.example.org/y"),
+      (3L, "https://notexample.org/z"), (4L, "https://news.example.com/a"))
+      .toDF("doc_id", "url")
+    val kept = UrlGovernance.filterBlockedHosts(urls, col("url"), Seq("example.org"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // exact host and subdomain blocked; a lookalike suffix host is NOT
+    assert(kept === Seq(3L, 4L))
+    // pure filter: no exchange in the plan
+    spark.catalog.clearCache()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("url", concat(lit("https://h"),
+        pmod(col("doc_id"), lit(3)).cast("string"), lit(".example.com/p")))
+    val plan = UrlGovernance.filterBlockedHosts(docs, col("url"), Seq("h0.example.com"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+    // budget: no host exceeds the cap, and the kept set is
+    // partitioning-invariant
+    val capped = UrlGovernance.perHostCap(docs, col("url"), 5,
+      Sampling.portableUniform(col("doc_id")), col("doc_id"))
+    val perHost = capped.groupBy(graft.functions.url.host(col("url")))
+      .count().collect().map(_.getLong(1))
+    assert(perHost.forall(_ <= 5L) && perHost.nonEmpty)
+    val a = capped.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = UrlGovernance.perHostCap(docs.repartition(7), col("url"), 5,
+        Sampling.portableUniform(col("doc_id")), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b)
+  }
+
   test("q55 dedup groups: every canonical key's members share the key") {
     val q = SparkEntry.queries("q55_url_dedup")(spark, sfDir)
     val n = q.count()
