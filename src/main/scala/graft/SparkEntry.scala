@@ -694,6 +694,27 @@ object SparkEntry {
         .map { case ((a, b), i) => (i.toLong, a, b) }
         .toDF("ord", "left", "right")
     }),
+    // ---- latest-revision dedup (re-crawl supersedes): one row per
+    //      CANONICAL url keeping the newest fetch — the url-keyed
+    //      companion of content dedup (q21/q64). Canonicalization folds
+    //      tracking-param/case/port variants first, so revisions of the
+    //      same page compete even when fetched under different raw urls;
+    //      one window over the canonical key ----
+    "q85_latest_revision" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // deterministic fetch time synthesized from doc_id (SQL-replicable)
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        synthUrl(col("doc_id")).as("url"),
+        (lit(1700000000L) + pmod(col("doc_id") * 37L, lit(86400L * 30))
+          * 1000L).as("fetch_ms"))
+      val canon = graft.functions.url.canonicalize(col("url"))
+      val w = Window.partitionBy("canon")
+        .orderBy(col("fetch_ms").desc, col("doc_id").asc)
+      d.withColumn("canon", canon)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("canon"), col("doc_id"), col("fetch_ms"))
+    }),
     // ---- domain blocklist (crawl admission): drop blocked domains and
     //      their subdomains — a zero-shuffle codegen'd filter ----
     "q83_blocklist" -> ((s, dir) => {
@@ -1530,6 +1551,43 @@ object SparkEntry {
         |  round(CASE WHEN n = 0 THEN 0.0 ELSE topw * 1.0 / n END, 6) AS top_word_frac,
         |  round(CASE WHEN n < 2 THEN 0.0 ELSE topb * 1.0 / (n - 1) END, 6) AS top_2gram_frac
         |FROM agg""".stripMargin,
+    "q85_latest_revision" ->
+      // q55's canonicalization replay + a newest-fetch window; fetch_ms
+      // synthesized with the same integer arithmetic
+      s"""WITH synth AS (
+        |  SELECT doc_id, $synthUrlSql AS url,
+        |    1700000000 + ((doc_id * 37) % 2592000) * 1000 AS fetch_ms
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1)) AS hostport,
+        |    regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS path0,
+        |    regexp_extract(url, '^[A-Za-z]+://[^/?#]*[^?#]*\\?([^#]*)', 1) AS query0
+        |  FROM synth),
+        |norm AS (
+        |  SELECT doc_id, scheme,
+        |    regexp_replace(
+        |      CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+        |           WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+        |           ELSE hostport END,
+        |      '^www\\.', '') AS host,
+        |    CASE WHEN path0 = '' THEN '/'
+        |         WHEN length(path0) > 1 AND path0 LIKE '%/' THEN substr(path0, 1, length(path0) - 1)
+        |         ELSE path0 END AS path,
+        |    array_to_string(list_sort(list_filter(string_split(query0, '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS query
+        |  FROM parts),
+        |canon AS (
+        |  SELECT doc_id, scheme || '://' || host || path ||
+        |    CASE WHEN query <> '' THEN '?' || query ELSE '' END AS canon
+        |  FROM norm)
+        |SELECT canon, doc_id, fetch_ms FROM (
+        |  SELECT c.canon, c.doc_id, s.fetch_ms,
+        |    row_number() OVER (PARTITION BY c.canon
+        |      ORDER BY s.fetch_ms DESC, c.doc_id ASC) AS rn
+        |  FROM canon c JOIN synth s USING (doc_id))
+        |WHERE rn = 1""".stripMargin,
     "q83_blocklist" ->
       // same canonical-host rule as q57's oracle + suffix-match filter
       s"""WITH synth AS (
