@@ -694,6 +694,16 @@ object SparkEntry {
         .map { case ((a, b), i) => (i.toLong, a, b) }
         .toDF("ord", "left", "right")
     }),
+    // ---- C4 banned-word document filter: drop any doc containing a
+    //      listed word as a whole word (case-insensitive) — one
+    //      codegen'd regex predicate, zero shuffle. The stand-in list
+    //      uses corpus-frequent tokens so the filter provably bites ----
+    "q86_word_filter" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.filter(graft.operators.TextAnalysis.containsNoBlockedWord(
+          col("text"), Seq("slow", "spill")))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
     // ---- latest-revision dedup (re-crawl supersedes): one row per
     //      CANONICAL url keeping the newest fetch — the url-keyed
     //      companion of content dedup (q21/q64). Canonicalization folds
@@ -1551,6 +1561,11 @@ object SparkEntry {
         |  round(CASE WHEN n = 0 THEN 0.0 ELSE topw * 1.0 / n END, 6) AS top_word_frac,
         |  round(CASE WHEN n < 2 THEN 0.0 ELSE topb * 1.0 / (n - 1) END, 6) AS top_2gram_frac
         |FROM agg""".stripMargin,
+    "q86_word_filter" ->
+      // same whole-word boundary rule via RE2-compatible regex
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE NOT regexp_matches(text,
+        |  '(?i)(^|[^a-z0-9''])(slow|spill)($|[^a-z0-9''])')""".stripMargin,
     "q85_latest_revision" ->
       // q55's canonicalization replay + a newest-fetch window; fetch_ms
       // synthesized with the same integer arithmetic

@@ -63,6 +63,22 @@ object TextAnalysis {
   /** Composite quality score in [0,1]: length band + punctuation sanity +
     * stopword presence (a simple public-web-text heuristic; weights pinned).
     */
+  /** C4's banned-word document filter (Raffel et al. 2020 §2.2 "List of
+    * Dirty, Naughty …" rule, generalized to any word list): true when
+    * the text contains NONE of the listed words as whole words,
+    * case-insensitively. One codegen'd regex predicate — a pure filter
+    * that pushes toward the scan; the lookaround-free pattern evaluates
+    * identically under java.regex and RE2 (the PII-kernel discipline).
+    */
+  def containsNoBlockedWord(text: Column, words: Seq[String]): Column = {
+    require(words.nonEmpty && words.forall(_.matches("[A-Za-z0-9']+")),
+      "blocked words must be plain word tokens (the pattern embeds them)")
+    val pat = "(?i)(^|[^a-z0-9'])(" +
+      words.map(_.toLowerCase(java.util.Locale.ROOT)).mkString("|") +
+      ")($|[^a-z0-9'])"
+    !(text rlike pat)
+  }
+
   def qualityScore(text: Column): Column = {
     val nTok = tokenCount(text).cast("double")
     val lenScore = least(nTok / lit(50.0), lit(1.0))
