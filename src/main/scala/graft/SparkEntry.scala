@@ -694,6 +694,28 @@ object SparkEntry {
         .map { case ((a, b), i) => (i.toLong, a, b) }
         .toDF("ord", "left", "right")
     }),
+    // ---- multimodal nearest-neighbor (media dedup's ranking core):
+    //      decode → 16-dim feature vectors → per-media top non-self
+    //      cosine neighbor via the SAME ANN path as text embeddings.
+    //      Decode is not SQL-expressible → pinned fixture; the feature
+    //      math is property-tested in MultimodalCodecSpec ----
+    "q87_media_nn" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val media = graft.operators.Multimodal.synthMedia(s,
+        graft.sources.SynthPages.countForSfDir(dir) / 10)
+      val f = graft.operators.Multimodal.decode(media).toDF()
+        .select(col("media_id").cast("long").as("vec_id"),
+          col("features").as("embedding"))
+      val qs = f.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("rank").asc, col("vec_id").asc)
+      graft.operators.Similarity.bruteForceTopK(qs, f, k = 2)
+        .filter(col("vec_id") =!= col("q_id")) // drop self wherever it ranked
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("q_id").as("media_id"), col("vec_id").as("nn_id"),
+          col("cosine"))
+    }),
     // ---- C4 banned-word document filter: drop any doc containing a
     //      listed word as a whole word (case-insensitive) — one
     //      codegen'd regex predicate, zero shuffle. The stand-in list
