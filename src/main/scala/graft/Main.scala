@@ -58,22 +58,34 @@ object Main {
     spark.read.parquet(path)
   }
 
+  /** The shared pages→features→assigned-tiles→encoded-tiles chain, with
+    * the config's cell levels and tile cap — ONE definition for the
+    * batch run, the resume run, and every streaming micro-batch (no
+    * parameter drift between modes writing into the same table).
+    * `restrictTo` optionally anti-joins a tile_id set BEFORE the heavy
+    * group+encode (the batch-resume filter).
+    */
+  def tilesFor(spark: SparkSession, pages: DataFrame, cfg: GraftConfig,
+               resumeRoot: Option[String]): DataFrame = {
+    val features = graft.operators.GeoPipeline
+      .pagesToFeatures(spark, pages, cfg.s2Level, cfg.hexRes)
+      .filter(col("lat").isNotNull && col("lon").isNotNull)
+    val zoomed = graft.operators.Tiler.assignTiles(features, cfg.zooms)
+    val pending = resumeRoot match {
+      case Some(root) => graft.plans.Lineage.pendingOnly(zoomed, root)
+      case None => zoomed
+    }
+    val tiles = graft.operators.Tiler.encodeTiles(pending, cfg.tileCap)
+    graft.operators.Tiler.tilesWithStats(tiles)
+  }
+
   /** Pipeline from pages to committed tile snapshot, with optional resume
     * (anti-join committed tile ids BEFORE the heavy group+encode).
     */
   def run(spark: SparkSession, cfg: GraftConfig): graft.plans.Lineage.Snapshot = {
     val pages = pageTable(spark, cfg)
-    val features = graft.operators.GeoPipeline
-      .pagesToFeatures(spark, pages, cfg.s2Level, cfg.hexRes)
-      .filter(col("lat").isNotNull && col("lon").isNotNull)
-
-    val zoomed = graft.operators.Tiler.assignTiles(features, cfg.zooms)
-    val pending =
-      if (cfg.resume) graft.plans.Lineage.pendingOnly(zoomed, cfg.outDir)
-      else zoomed
-
-    val tiles = graft.operators.Tiler.encodeTiles(pending, cfg.tileCap)
-    val withStats = graft.operators.Tiler.tilesWithStats(tiles)
+    val withStats = tilesFor(spark, pages, cfg,
+      resumeRoot = if (cfg.resume) Some(cfg.outDir) else None)
     graft.plans.Lineage.commit(withStats, cfg.outDir,
       s"pages=${cfg.nPages} zooms=${cfg.zooms.mkString(",")} resume=${cfg.resume}")
   }
@@ -115,41 +127,46 @@ object Main {
       return
     }
     // streaming ingestion mode: watch a directory of page parquet, run
-    // the tile pipeline per micro-batch, commit each batch exactly once
-    // through the snapshot layer (StreamCommit), and skip tiles already
-    // committed by ANY earlier batch or run (the resume anti-join) —
-    // live ingest and batch backfill share one table and one discipline.
-    // Trigger.AvailableNow drains what exists and stops, so the mode is
-    // driveable as a CLI; a long-lived deployment would use a processing
-    // -time trigger instead.
+    // the SAME tile chain as batch mode per micro-batch (tilesFor — no
+    // parameter drift), and commit each batch exactly once through the
+    // snapshot layer (StreamCommit keyed by the checkpoint location).
+    //
+    // DELTA-TILE SEMANTICS, deliberately: each snapshot's tiles encode
+    // ONLY that batch's pages, so a tile id can recur across snapshots
+    // as later batches add features to the same tile. The batch-resume
+    // anti-join must NOT be applied here — it assumes identical input
+    // across runs, and on a live stream it would silently DROP new
+    // pages whose tile was already committed (data loss). A serving
+    // table is derived by re-encoding merged tiles at compaction; the
+    // `--report` overlap verdict applies to resume tables, not to this
+    // delta table. Trigger.AvailableNow drains what exists and stops,
+    // so the mode drives as a CLI.
     if (args.contains("--stream")) {
+      // positional shape differs from batch mode: <outDir> [watchDir] [zooms]
       val positional = args.filterNot(_.startsWith("--"))
-      val outDir = positional.headOption.getOrElse("/tmp/graft-tiles")
-      val watchDir = positional.lift(1).getOrElse(s"$outDir/incoming")
-      val zooms = positional.lift(2).map(_.split(",").map(_.toInt).toSeq)
-        .getOrElse(Seq(4, 8, 12))
+      val cfg = GraftConfig(
+        outDir = positional.headOption.getOrElse("/tmp/graft-tiles"),
+        zooms = positional.lift(2).map(_.split(",").map(_.toInt).toSeq)
+          .getOrElse(Seq(4, 8, 12)))
+      val watchDir = positional.lift(1).getOrElse(s"${cfg.outDir}/incoming")
+      val checkpoint = s"${cfg.outDir}/stream-checkpoint"
       val spark = session()
       val pageSchema = org.apache.spark.sql.Encoders
         .product[graft.sources.Page].schema
       val pages = spark.readStream.schema(pageSchema).parquet(watchDir)
+      val sink = graft.plans.StreamCommit.cachedCommitter(
+        cfg.outDir, streamId = checkpoint)
       val query = pages.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
-          val features = graft.operators.GeoPipeline
-            .pagesToFeatures(spark, batch)
-            .filter(col("lat").isNotNull && col("lon").isNotNull)
-          val zoomed = graft.operators.Tiler.assignTiles(features, zooms)
-          val pending = graft.plans.Lineage.pendingOnly(zoomed, outDir)
-          val tiles = graft.operators.Tiler.tilesWithStats(
-            graft.operators.Tiler.encodeTiles(pending))
-          graft.plans.StreamCommit.commitBatch(outDir, "stream-tiles")(
-            tiles, bid) match {
+          val tiles = tilesFor(spark, batch, cfg, resumeRoot = None)
+          sink(tiles, bid) match {
             case Some(snap) => println(
               s"committed snapshot ${snap.id} rows=${snap.rows} " +
                 s"bytes=${snap.bytes} (stream batch $bid)")
             case None => println(s"stream batch $bid already committed — skipped")
           }
         }
-        .option("checkpointLocation", s"$outDir/stream-checkpoint")
+        .option("checkpointLocation", checkpoint)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       query.awaitTermination()

@@ -1584,10 +1584,12 @@ object SparkEntry {
         |  round(CASE WHEN n < 2 THEN 0.0 ELSE topb * 1.0 / (n - 1) END, 6) AS top_2gram_frac
         |FROM agg""".stripMargin,
     "q86_word_filter" ->
-      // same whole-word boundary rule via RE2-compatible regex
+      // same whole-word rule with case spelled as per-letter classes —
+      // java.regex (?i) is ASCII-only while RE2's folds Unicode, so the
+      // flag would diverge between engines; explicit classes cannot
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE NOT regexp_matches(text,
-        |  '(?i)(^|[^a-z0-9''])(slow|spill)($|[^a-z0-9''])')""".stripMargin,
+        |  '(^|[^a-zA-Z0-9''])([sS][lL][oO][wW]|[sS][pP][iI][lL][lL])($|[^a-zA-Z0-9''])')""".stripMargin,
     "q85_latest_revision" ->
       // q55's canonicalization replay + a newest-fetch window; fetch_ms
       // synthesized with the same integer arithmetic

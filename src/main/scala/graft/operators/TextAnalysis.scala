@@ -63,22 +63,6 @@ object TextAnalysis {
   /** Composite quality score in [0,1]: length band + punctuation sanity +
     * stopword presence (a simple public-web-text heuristic; weights pinned).
     */
-  /** C4's banned-word document filter (Raffel et al. 2020 §2.2 "List of
-    * Dirty, Naughty …" rule, generalized to any word list): true when
-    * the text contains NONE of the listed words as whole words,
-    * case-insensitively. One codegen'd regex predicate — a pure filter
-    * that pushes toward the scan; the lookaround-free pattern evaluates
-    * identically under java.regex and RE2 (the PII-kernel discipline).
-    */
-  def containsNoBlockedWord(text: Column, words: Seq[String]): Column = {
-    require(words.nonEmpty && words.forall(_.matches("[A-Za-z0-9']+")),
-      "blocked words must be plain word tokens (the pattern embeds them)")
-    val pat = "(?i)(^|[^a-z0-9'])(" +
-      words.map(_.toLowerCase(java.util.Locale.ROOT)).mkString("|") +
-      ")($|[^a-z0-9'])"
-    !(text rlike pat)
-  }
-
   def qualityScore(text: Column): Column = {
     val nTok = tokenCount(text).cast("double")
     val lenScore = least(nTok / lit(50.0), lit(1.0))
@@ -105,6 +89,29 @@ object TextAnalysis {
   }
 
   /** Predicted language: arg-max of marker counts, 'und' when all zero. */
+  /** C4's banned-word document filter (Raffel et al. 2020 §2.2 "List of
+    * Dirty, Naughty …" rule, generalized to any word list): true when
+    * the text contains NONE of the listed words as whole words,
+    * case-insensitively. One codegen'd regex predicate — a pure filter
+    * that pushes toward the scan. Case-insensitivity is spelled as
+    * per-letter character classes ([sS][lL]…), NOT `(?i)`: java.regex's
+    * `(?i)` folds ASCII only while RE2's folds Unicode (ſ→s), so the
+    * flag would silently diverge between engine and oracle on non-ASCII
+    * text; explicit classes evaluate identically everywhere.
+    */
+  def containsNoBlockedWord(text: Column, words: Seq[String]): Column = {
+    require(words.nonEmpty && words.forall(_.matches("[A-Za-z0-9']+")),
+      "blocked words must be plain word tokens (the pattern embeds them)")
+    def cased(w: String): String = w.map { c =>
+      if (c.isLetter)
+        s"[${c.toLower}${c.toUpper}]"
+      else c.toString
+    }.mkString
+    val pat = "(^|[^a-zA-Z0-9'])(" + words.map(cased).mkString("|") +
+      ")($|[^a-zA-Z0-9'])"
+    !(text rlike pat)
+  }
+
   def langId(text: Column): Column = {
     val scores = langScores(text)
     // arg-max via when() chain; first (alphabetical) language wins ties
