@@ -47,4 +47,24 @@ class StreamCommitSpec extends AnyFunSuite {
     val vs = QaReport.verdicts(spark, root)
     assert(vs.forall(_.ok), QaReport.summary(vs))
   }
+
+  test("cachedCommitter: one manifest scan, O(1) replays, new batches commit") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-cached-commit").toString
+    def rows(a: Long, b: Long) =
+      (a until b).map(id => (id, 100L)).toDF("tile_id", "byte_len")
+    // seed one batch via the plain path (simulating a previous run)
+    assert(StreamCommit.commitBatch(root, "ckpt-A")(rows(0, 10), 0L).nonEmpty)
+    val sink = StreamCommit.cachedCommitter(root, "ckpt-A")
+    // cache initialized from disk: the seeded batch is a no-op replay
+    assert(sink(rows(0, 10), 0L).isEmpty)
+    // new batches commit and subsequent replays hit the in-memory set
+    assert(sink(rows(10, 20), 1L).nonEmpty)
+    assert(sink(rows(10, 20), 1L).isEmpty)
+    assert(Lineage.committedSnapshots(root) === Seq(1L, 2L))
+    // a different checkpoint identity is independent — its batch 0 is new
+    val sinkB = StreamCommit.cachedCommitter(root, "ckpt-B")
+    assert(sinkB(rows(20, 25), 0L).nonEmpty)
+    assert(Lineage.committedSnapshots(root) === Seq(1L, 2L, 3L))
+  }
 }
