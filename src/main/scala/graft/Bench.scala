@@ -229,7 +229,8 @@ object Bench {
       "q76_semdedup", "q77_mixture_sample", "q78_remove_spans",
       "q79_curate", "q80_cluster_balance", "q81_nfc_normalize",
       "q82_corpus_report", "q83_blocklist", "q84_host_budget",
-      "q85_latest_revision", "q86_word_filter", "q87_media_nn")
+      "q85_latest_revision", "q86_word_filter", "q87_media_nn",
+      "q88_pagerank")
     val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") == "1"
     // per-query shuffle-write MB: the plan-quality evidence (a payload
     // riding a fan-out is visible here regardless of wall clock)

@@ -694,6 +694,18 @@ object SparkEntry {
         .map { case ((a, b), i) => (i.toLong, a, b) }
         .toDF("ord", "left", "right")
     }),
+    // ---- host-graph PageRank (crawl authority signal): deterministic
+    //      synthetic link graph from doc-id arithmetic (50 hosts, two
+    //      out-edges per doc), 3 fixed power iterations — superstep
+    //      join+agg per iteration, replayed by an unrolled SQL oracle ----
+    "q88_pagerank" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val edges = d.select(pmod(col("doc_id"), lit(50)).as("src"),
+          pmod(col("doc_id") * 7, lit(50)).as("dst"))
+        .unionAll(d.select(pmod(col("doc_id"), lit(50)).as("src"),
+          pmod(col("doc_id") * 13, lit(50)).as("dst")))
+      graft.operators.LinkGraph.pageRank(edges, iters = 3)
+    }),
     // ---- multimodal nearest-neighbor (media dedup's ranking core):
     //      decode → 16-dim feature vectors → per-media top non-self
     //      cosine neighbor via the SAME ANN path as text embeddings.
@@ -1583,6 +1595,47 @@ object SparkEntry {
         |  round(CASE WHEN n = 0 THEN 0.0 ELSE topw * 1.0 / n END, 6) AS top_word_frac,
         |  round(CASE WHEN n < 2 THEN 0.0 ELSE topb * 1.0 / (n - 1) END, 6) AS top_2gram_frac
         |FROM agg""".stripMargin,
+    "q88_pagerank" ->
+      // unrolled power iteration: identical double operation order
+      // ((1−d)/N precomputed as a division, d·coalesce(Σ,0)); DISTINCT
+      // non-loop edges; dangling mass dropped on both sides
+      """WITH e0 AS (
+        |  SELECT doc_id % 50 AS src, (doc_id * 7) % 50 AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 50 AS src, (doc_id * 13) % 50 AS dst FROM documents),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |nodes AS MATERIALIZED (
+        |  SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |p0 AS MATERIALIZED (
+        |  SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN nn),
+        |p1 AS MATERIALIZED (
+        |  SELECT nodes.node,
+        |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+        |      + CAST(0.85 AS DOUBLE) * coalesce(s.inc, CAST(0.0 AS DOUBLE)) AS pr
+        |  FROM nodes CROSS JOIN nn LEFT JOIN (
+        |    SELECT e.dst AS node, sum(p.pr / od.outdeg) AS inc
+        |    FROM e JOIN p0 p ON e.src = p.node JOIN od ON od.src = e.src
+        |    GROUP BY e.dst) s ON s.node = nodes.node),
+        |p2 AS MATERIALIZED (
+        |  SELECT nodes.node,
+        |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+        |      + CAST(0.85 AS DOUBLE) * coalesce(s.inc, CAST(0.0 AS DOUBLE)) AS pr
+        |  FROM nodes CROSS JOIN nn LEFT JOIN (
+        |    SELECT e.dst AS node, sum(p.pr / od.outdeg) AS inc
+        |    FROM e JOIN p1 p ON e.src = p.node JOIN od ON od.src = e.src
+        |    GROUP BY e.dst) s ON s.node = nodes.node),
+        |p3 AS MATERIALIZED (
+        |  SELECT nodes.node,
+        |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+        |      + CAST(0.85 AS DOUBLE) * coalesce(s.inc, CAST(0.0 AS DOUBLE)) AS pr
+        |  FROM nodes CROSS JOIN nn LEFT JOIN (
+        |    SELECT e.dst AS node, sum(p.pr / od.outdeg) AS inc
+        |    FROM e JOIN p2 p ON e.src = p.node JOIN od ON od.src = e.src
+        |    GROUP BY e.dst) s ON s.node = nodes.node)
+        |SELECT node, round(pr, 6) AS pagerank FROM p3""".stripMargin,
     "q86_word_filter" ->
       // same whole-word rule with case spelled as per-letter classes —
       // java.regex (?i) is ASCII-only while RE2's folds Unicode, so the

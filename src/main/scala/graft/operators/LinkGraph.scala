@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics over the crawl's host graph — the authority
+  * signal (PageRank) crawl scheduling and quality weighting consume.
+  */
+object LinkGraph {
+  /** Fixed-iteration PageRank over a directed edge list (src, dst):
+    * pr₀ = 1/N; pr_{k+1}(v) = (1−d)/N + d · Σ_{(u,v)∈E} pr_k(u)/out(u).
+    *
+    * Scale shape: each iteration is ONE equi join of the edge list with
+    * the rank vector plus ONE node-keyed aggregation — the CC superstep
+    * discipline (eager localCheckpoint per step so the plan never
+    * branches exponentially); edges carry (src, dst) only. N is a
+    * driver scalar (node count — bounded by #hosts, not #pages).
+    * FIXED iterations (not convergence-tested) keep the whole operator
+    * independently replayable by an unrolled SQL oracle (q88); dangling
+    * mass is dropped, matching the oracle's formula exactly.
+    * Self-loops and duplicate edges are removed first.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 3,
+               damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true) // reused every superstep
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "pageRank on an empty graph")
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    var pr = nodes.withColumn("pr", lit(1.0 / n))
+    for (_ <- 0 until iters) {
+      val contrib = e
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("node"), (col("pr") / col("outdeg")).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("in"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("in"), lit(0.0))).as("pr"))
+        .localCheckpoint(true)
+    }
+    pr.select(col("node"), round(col("pr"), 6).as("pagerank"))
+  }
+}

@@ -450,6 +450,42 @@ class SamplingSpec extends AnyFunSuite {
   }
 }
 
+class PageRankSpec extends AnyFunSuite {
+  import SharedSpark._
+  import graft.operators.LinkGraph
+
+  test("two-node cycle is the fixpoint (0.5 each); star concentrates on the hub") {
+    import spark.implicits._
+    val cycle = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val pr = LinkGraph.pageRank(cycle, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr(1L) === 0.5 && pr(2L) === 0.5) // symmetric fixpoint, any iters
+    val star = Seq((1L, 9L), (2L, 9L), (3L, 9L), (9L, 1L)).toDF("src", "dst")
+    val ps = LinkGraph.pageRank(star, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ps(9L) > ps(1L) && ps(1L) > ps(2L)) // hub > its target > leaves
+    assert(ps(2L) === ps(3L)) // symmetric leaves tie
+  }
+
+  test("deterministic at any partitioning; self-loops and duplicate edges ignored") {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val edges = d.select((col("doc_id") % 50).as("src"),
+        (col("doc_id") * 7 % 50).as("dst"))
+      .unionAll(d.select((col("doc_id") % 50).as("src"),
+        (col("doc_id") * 13 % 50).as("dst")))
+    val a = LinkGraph.pageRank(edges, 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val b = LinkGraph.pageRank(edges.repartition(13), 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(a === b)
+    // duplicating the edge list changes nothing (distinct edges)
+    val c = LinkGraph.pageRank(edges.unionAll(edges), 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(a === c)
+  }
+}
+
 class HllSpec extends AnyFunSuite {
   import SharedSpark._
 
