@@ -707,24 +707,26 @@ object SparkEntry {
       graft.operators.LinkGraph.pageRank(edges, iters = 3)
     }),
     // ---- multimodal nearest-neighbor (media dedup's ranking core):
-    //      decode → 16-dim feature vectors → per-media top non-self
-    //      cosine neighbor via the SAME ANN path as text embeddings.
-    //      Decode is not SQL-expressible → pinned fixture; the feature
-    //      math is property-tested in MultimodalCodecSpec ----
+    //      decode → 16-dim feature vectors → per-media nearest non-self
+    //      cosine neighbor through the IVF candidate path (ivfSelfTopK:
+    //      zero-shuffle centroid assign + probe fan-out meeting in ONE
+    //      centroid-keyed equi join — no all-pairs crossJoin, no
+    //      corpus-sized broadcast; cluster count scales ~√N so the
+    //      per-list quadratic stays bounded as the corpus grows).
+    //      Decode is not SQL-expressible → pinned fixture; recall vs
+    //      brute force + the no-cartesian plan gate are pinned in
+    //      MultimodalCodecSpec ----
     "q87_media_nn" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val media = graft.operators.Multimodal.synthMedia(s,
         graft.sources.SynthPages.countForSfDir(dir) / 10)
       val f = graft.operators.Multimodal.decode(media).toDF()
         .select(col("media_id").cast("long").as("vec_id"),
           col("features").as("embedding"))
-      val qs = f.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      val w = Window.partitionBy("q_id")
-        .orderBy(col("rank").asc, col("vec_id").asc)
-      graft.operators.Similarity.bruteForceTopK(qs, f, k = 2)
-        .filter(col("vec_id") =!= col("q_id")) // drop self wherever it ranked
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
+        .localCheckpoint(true) // feeds centroid training AND both join sides
+      val n = f.count()
+      val cents = graft.operators.Similarity.trainCentroids(f,
+        nCentroids = math.max(4, math.sqrt(n.toDouble).toInt), iters = 2)
+      graft.operators.Similarity.ivfSelfTopK(f, cents, k = 1, nProbe = 4)
         .select(col("q_id").as("media_id"), col("vec_id").as("nn_id"),
           col("cosine"))
     }),

@@ -96,6 +96,40 @@ object Similarity {
       .select(col(qId), col(cId), round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
+  /** All-corpus IVF top-k — EVERY corpus vector is a query (media dedup's
+    * ranking core, q87). [[ivfTopK]] broadcasts its query side, which is
+    * right for a small probe set but would make an all-corpus query side
+    * an O(N) broadcast; here NEITHER side broadcasts by construction:
+    * both the list assignment and the probe fan-out are zero-shuffle
+    * codegen'd maps, and candidates meet in ONE centroid-keyed equi join
+    * (AQE free to pick the physical join). Cost is Σ_c |list_c| ×
+    * |probers_c| — cluster sizes bound the quadratic, the same trade
+    * SemDeDup ships with — versus the N² of brute force. Self-matches
+    * are dropped BEFORE ranking, so rank 1 is the nearest non-self
+    * neighbor. Approximate: a query whose true neighbor lives outside
+    * its `nProbe` probed lists misses it (recall vs brute force is
+    * pinned in tests); a query alone in all its probed lists yields no
+    * row.
+    */
+  def ivfSelfTopK(corpus: DataFrame, centroids: Array[Array[Float]],
+                  k: Int, nProbe: Int = 2,
+                  cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val assigned = assign(corpus, centroids, cVec)
+    val probes = corpus
+      .select(col(cId).as("q_id"), col(cVec).as("q_vec"))
+      .withColumn("centroid_id",
+        explode(vec.nearest_centroids(col("q_vec"), centroids, nProbe)))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col(cId).asc)
+    assigned.join(probes, Seq("centroid_id"))
+      .filter(col(cId) =!= col("q_id"))
+      .withColumn("cosine", vec.cosine_sim(col("q_vec"), col(cVec)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col(cId), round(col("cosine"), 6).as("cosine"),
+        col("rank"))
+  }
+
   /** PCA model: mean vector, top-k eigenvector basis (rows), and the
     * eigenvalues (= per-component population variances).
     */
@@ -192,10 +226,19 @@ object Similarity {
     * (vec_id, __vec, cos_centroid, cluster_id) — eager localCheckpoint
     * because callers fan it into several consumers. Shared by
     * [[semDedup]] and cluster-balanced sampling (q80).
+    *
+    * SCALE CONTRACT: the seed set BROADCASTS, so its size must be
+    * k-bounded, not corpus-proportional — pass `seedStride ≈ N / k` for
+    * the cluster count `k` you want (a constant stride over a growing
+    * corpus silently grows the broadcast with N). `maxSeeds` fails fast
+    * when the stride selects more seeds than a broadcast should carry;
+    * for Lloyd-refined centroids at fixed k use [[trainCentroids]] +
+    * [[assign]] instead.
     */
   def seedAssign(vecs: DataFrame, seedStride: Long,
                  cId: String = "vec_id",
-                 cVec: String = "embedding"): DataFrame = {
+                 cVec: String = "embedding",
+                 maxSeeds: Long = 1L << 16): DataFrame = {
     require(seedStride > 0)
     val v = vecs.select(col(cId).cast("long").as("vec_id"),
       col(cVec).as("__vec"))
@@ -209,6 +252,11 @@ object Similarity {
     require(!seeds.isEmpty,
       s"seedAssign: no vec id is a multiple of seedStride=$seedStride — " +
         "pick a stride that selects seeds from this id space")
+    val nSeeds = seeds.count() // reads the checkpoint — no corpus re-scan
+    require(nSeeds <= maxSeeds,
+      s"seedAssign: stride $seedStride selects $nSeeds seeds (> $maxSeeds) — " +
+        "the seed set broadcasts, so pick seedStride ≈ N/k (or raise maxSeeds " +
+        "deliberately)")
     val best = v.crossJoin(broadcast(seeds))
       .groupBy("vec_id")
       .agg(max(struct(

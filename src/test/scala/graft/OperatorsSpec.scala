@@ -214,6 +214,36 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = brute.intersect(ivf).size.toDouble / brute.size
     assert(recall >= 0.7, s"IVF recall $recall")
   }
+
+  test("all-corpus IVF self-NN: high recall vs brute force, no cartesian in plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val media = graft.operators.Multimodal.synthMedia(spark, 120)
+    val f = graft.operators.Multimodal.decode(media).toDF()
+      .select(col("media_id").cast("long").as("vec_id"),
+        col("features").as("embedding"))
+      .localCheckpoint(true)
+    // oracle: brute-force nearest non-self neighbor per media
+    val qs = f.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val w = Window.partitionBy("q_id").orderBy(col("rank").asc, col("vec_id").asc)
+    val brute = graft.operators.Similarity.bruteForceTopK(qs, f, k = 2)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toMap
+    val cents = graft.operators.Similarity.trainCentroids(f, nCentroids = 10, iters = 2)
+    val self = graft.operators.Similarity.ivfSelfTopK(f, cents, k = 1, nProbe = 4)
+    // the scale gate: one equi join on centroid_id — never an all-pairs plan
+    val plan = self.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    val got = self.select("q_id", "vec_id").as[(Long, Long)].collect().toMap
+    // every query that found a candidate list reports a neighbor; recall of
+    // the TRUE nearest neighbor stays high at nProbe=4
+    assert(got.size >= (brute.size * 0.95).toInt, s"${got.size} of ${brute.size}")
+    val hits = brute.count { case (q, nn) => got.get(q).contains(nn) }
+    val recall = hits.toDouble / brute.size
+    assert(recall >= 0.7, s"self-NN recall $recall")
+  }
 }
 
 class AsofJoinSpec extends AnyFunSuite {
