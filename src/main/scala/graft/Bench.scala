@@ -7,6 +7,14 @@ import org.apache.spark.sql.SparkSession
   * {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
   *  "tiles_per_sec":..., "scaling":{...}}
   *
+  * Measurement order is steal-aware: (1) scaling gate under its reserved
+  * budget, (2) the HEADLINE pipeline (min of 2 unconditional reps, +1 on
+  * >3× disagreement), (3) the query sweep — so the two gated artifacts
+  * occupy the protected front of the wall budget and a co-tenant steal
+  * window late in the sweep can no longer corrupt them (the BENCH_r03
+  * failure). Every published time carries the cpu_sec of the SAME rep,
+  * so wall ≫ cpu in the artifact itself identifies host steal.
+  *
   * The headline number is end-to-end MVT pipeline throughput (page table
   * scan → geoparse → cells → PIP → tile encode) over a MATERIALIZED
   * parquet page table — the BASELINE.json shape ("over an Iceberg table
@@ -209,10 +217,33 @@ object Bench {
         s""""all_pairs":$allPairs,$stagesJson}"""
     }
 
-    // ---- query sweep (the per-operator numbers) ----
+    // ---- headline pipeline: measured FIRST in the primary session,
+    // directly after the scaling phase — never behind the query sweep.
+    // BENCH_r03's tail hit a co-tenant steal window after the wall
+    // budget expired and single-shot fallback published 87.5 s for a
+    // 3.2 s pipeline; the BASELINE.json metric must come from the
+    // protected front of the run, min-of-2 UNCONDITIONALLY (a second
+    // rep is ~3 s — never budget-gated), with cpu_sec next to wall so
+    // a stolen window is attributable from the artifact alone. ----
     val spark = session(cpus)
+    val pListener = new graft.plans.TaskTimeListener
+    spark.sparkContext.addSparkListener(pListener)
     spark.read.parquet(s"$sfDir/lineitem.parquet").count() // warm
+    pipeline(spark, warmPath) // JIT + codegen warmup (unmeasured)
+    def pipeRep(): (Long, Double, Double) = {
+      pListener.reset()
+      val (tiles, secs) = time(pipeline(spark, pagesPath))
+      org.apache.spark.GraftSparkBridge.waitForListeners(spark.sparkContext)
+      (tiles, secs, pListener.cpuSeconds)
+    }
+    val pReps = {
+      val two = Seq(pipeRep(), pipeRep())
+      // a >3× disagreement is a steal window — buy one more rep
+      if (two.map(_._2).max / two.map(_._2).min > 3.0) two :+ pipeRep() else two
+    }
+    val (pTiles, pipeBest, pipeCpu) = pReps.minBy(_._2)
 
+    // ---- query sweep (the per-operator numbers) ----
     val headline: Seq[String] = Seq(
       "q01_pricing_summary", "q02_revenue_by_nation",
       "q03_top_orders_per_customer", "q12_pip_triangles", "q13_knn",
@@ -232,35 +263,41 @@ object Bench {
       "q85_latest_revision", "q86_word_filter", "q87_media_nn",
       "q88_pagerank")
     val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") == "1"
-    // per-query shuffle-write MB: the plan-quality evidence (a payload
-    // riding a fan-out is visible here regardless of wall clock)
+    // per-query shuffle-write MB + cpu_sec: the plan-quality and
+    // steal-attribution evidence. Both are captured from the WINNING
+    // (min-wall) rep, so the published seconds, MB and CPU all describe
+    // the same execution (a retry's stats must not pair with another
+    // rep's time).
     val qListener = new graft.plans.TaskTimeListener
     spark.sparkContext.addSparkListener(qListener)
     // Each query is timed 2× (3× when the two disagree >3× — a steal
     // window) and the MIN is reported: a single stolen window printed
     // 49.8 s for a 0.9 s query in BENCH_r02, and a one-shot artifact
     // cannot distinguish that from a real regression.
+    final case class QRep(secs: Double, mb: Double, cpuSec: Double)
     val results = if (!doQueries) Seq.empty else headline.map { name =>
       val fn = SparkEntry.queries(name)
       // None = the rep FAILED: a fast exception must not enter the
       // min() and mask a real measurement with a near-zero time
-      def rep(): Option[Double] = {
+      def rep(): Option[QRep] = {
+        qListener.reset()
         val (ok, secs) = time {
           try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
         }
-        if (ok) Some(secs) else None
+        org.apache.spark.GraftSparkBridge.waitForListeners(spark.sparkContext)
+        if (ok) Some(QRep(secs, qListener.shuffleWriteMb, qListener.cpuSeconds))
+        else None
       }
-      qListener.reset()
       val t1 = rep()
-      org.apache.spark.GraftSparkBridge.waitForListeners(spark.sparkContext)
-      val mb = qListener.shuffleWriteMb
       // past the wall budget, fall back to single-shot so a steal window
-      // can't make the sweep unbounded (the scaling gate already ran)
+      // can't make the sweep unbounded (the scaling gate and the headline
+      // pipeline already ran in the protected front of the budget)
       val t2 = if (elapsed < budget) rep() else t1
       val disagree = (for (a <- t1; b <- t2) yield
-        math.max(a, b) / math.max(1e-9, math.min(a, b)) > 3.0).getOrElse(false)
+        math.max(a.secs, b.secs) / math.max(1e-9, math.min(a.secs, b.secs)) > 3.0)
+        .getOrElse(false)
       // retry when the two reps disagree >3× OR only one survived — a
       // lone rep could be the steal-inflated one and must not publish
       // unguarded
@@ -268,24 +305,24 @@ object Bench {
       val reps = (if ((disagree || lone) && elapsed < budget)
                     Seq(t1, t2, rep())
                   else Seq(t1, t2)).flatten
-      (name, if (reps.isEmpty) -1.0 else reps.min, mb)
+      (name, reps.minByOption(_.secs).getOrElse(QRep(-1.0, 0.0, 0.0)))
     }
-    // headline pipeline measurement in the primary session
-    val (pTiles, pSecs) = time(pipeline(spark, pagesPath))
-    val (_, pSecs2) = time(pipeline(spark, pagesPath))
-    val pipeBest = math.min(pSecs, pSecs2)
     spark.stop()
 
-    val qs = (results.map(r => (r._1, r._2)) :+ ("pipeline_tiles" -> pipeBest))
+    val qs = (results.map(r => (r._1, r._2.secs)) :+ ("pipeline_tiles" -> pipeBest))
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val shuf = results.map { case (k, _, mb) => "\"" + k + "\":" + fmt(mb, 1) }
+    val shuf = results.map { case (k, r) => "\"" + k + "\":" + fmt(r.mb, 1) }
+      .mkString("{", ",", "}")
+    val cpu = (results.map(r => (r._1, r._2.cpuSec)) :+ ("pipeline_tiles" -> pipeCpu))
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v, 1) }
       .mkString("{", ",", "}")
     // failed queries report -1 per-query; they must not SUBTRACT from
     // the headline total (a failing sweep would otherwise look faster)
-    val total = results.map(_._2).filter(_ >= 0).sum + pipeBest
+    val total = results.map(_._2.secs).filter(_ >= 0).sum + pipeBest
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-      s""""shuffle_write_mb":$shuf,""" +
+      s""""shuffle_write_mb":$shuf,"cpu_sec":$cpu,""" +
+      s""""pipeline_reps_sec":[${pReps.map(r => fmt(r._2)).mkString(",")}],""" +
       s""""sf":"$sfDir","pages":$nPages,"gen_sec":${fmt(genSecs)},"tiles":$pTiles,""" +
       s""""tiles_per_sec":${fmt(pTiles / pipeBest, 1)},""" +
       s""""pages_per_sec":${fmt(nPages / pipeBest, 1)}$scalingJson}""")
