@@ -66,7 +66,8 @@ object Main {
     * group+encode (the batch-resume filter).
     */
   def tilesFor(spark: SparkSession, pages: DataFrame, cfg: GraftConfig,
-               resumeRoot: Option[String]): DataFrame = {
+               resumeRoot: Option[String],
+               keepFeatures: Boolean = false): DataFrame = {
     val features = graft.operators.GeoPipeline
       .pagesToFeatures(spark, pages, cfg.s2Level, cfg.hexRes)
       .filter(col("lat").isNotNull && col("lon").isNotNull)
@@ -75,8 +76,14 @@ object Main {
       case Some(root) => graft.plans.Lineage.pendingOnly(zoomed, root)
       case None => zoomed
     }
-    val tiles = graft.operators.Tiler.encodeTiles(pending, cfg.tileCap)
-    graft.operators.Tiler.tilesWithStats(tiles)
+    // keepFeatures = the mergeable DELTA layout (streaming): tiles carry
+    // their top-cap buffers so serving compaction can regroup + re-encode
+    if (keepFeatures)
+      graft.operators.Tiler.withStats(
+        graft.operators.Tiler.encodeTilesKeepFeatures(pending, cfg.tileCap).toDF())
+    else
+      graft.operators.Tiler.tilesWithStats(
+        graft.operators.Tiler.encodeTiles(pending, cfg.tileCap))
   }
 
   /** Pipeline from pages to committed tile snapshot, with optional resume
@@ -95,6 +102,33 @@ object Main {
           zooms: Seq[Int], resume: Boolean): graft.plans.Lineage.Snapshot =
     run(spark, GraftConfig(outDir = outDir, nPages = nPages, zooms = zooms,
       resume = resume))
+
+  /** The full product story in one invocation (`--e2e`): crawl pages →
+    * curated corpus (lineage root `outDir/curated`) → geo features →
+    * tile table (lineage root `outDir/tiles`), each stage committed
+    * through the snapshot layer. Stage 2 reads the COMMITTED curated
+    * table, not the in-flight frame — the lineage root is the contract
+    * between stages, so a crash between the two commits resumes from
+    * durable state, and a `--resume` rerun is idempotent end-to-end
+    * (curate's fp anti-join + the tile anti-join). Existing operators
+    * only; both roots share one QA report.
+    */
+  def e2e(spark: SparkSession, cfg: GraftConfig)
+      : (graft.plans.Lineage.Snapshot, graft.plans.Lineage.Snapshot) = {
+    val pages = pageTable(spark, cfg)
+    val curatedRoot = s"${cfg.outDir}/curated"
+    val tilesRoot = s"${cfg.outDir}/tiles"
+    val csnap = graft.operators.Curate.run(pages, curatedRoot,
+      resume = cfg.resume,
+      note = s"e2e curate pages=${cfg.nPages} resume=${cfg.resume}")
+    val curated = graft.plans.Lineage.activeTable(spark, curatedRoot)
+      .select(col("url"), col("text_curated").as("text"))
+    val tiles = tilesFor(spark, curated, cfg,
+      resumeRoot = if (cfg.resume) Some(tilesRoot) else None)
+    val tsnap = graft.plans.Lineage.commit(tiles, tilesRoot,
+      s"e2e tiles zooms=${cfg.zooms.mkString(",")} resume=${cfg.resume}")
+    (csnap, tsnap)
+  }
 
   def parseArgs(args: Array[String]): GraftConfig = {
     val cfgIdx = args.indexOf("--config")
@@ -122,7 +156,11 @@ object Main {
       val outDir = args.filterNot(_.startsWith("--")).headOption
         .getOrElse("/tmp/graft-tiles")
       val spark = session()
-      println(graft.plans.QaReport.report(spark, outDir))
+      // streamed delta roots get delta-overlap semantics: auto-detected
+      // from stream manifest notes, or forced with --delta
+      val delta = args.contains("--delta") ||
+        graft.plans.Lineage.isDeltaRoot(outDir)
+      println(graft.plans.QaReport.report(spark, outDir, delta))
       spark.stop()
       return
     }
@@ -136,19 +174,35 @@ object Main {
     // as later batches add features to the same tile. The batch-resume
     // anti-join must NOT be applied here — it assumes identical input
     // across runs, and on a live stream it would silently DROP new
-    // pages whose tile was already committed (data loss). A serving
-    // table is derived by re-encoding merged tiles at compaction; the
-    // `--report` overlap verdict applies to resume tables, not to this
-    // delta table. Trigger.AvailableNow drains what exists and stops,
-    // so the mode drives as a CLI.
+    // pages whose tile was already committed (data loss). Tiles commit
+    // WITH their top-cap feature buffers (the mergeable delta layout),
+    // so `--compact` later derives the SERVING table: one re-encoded
+    // row per tile_id, byte-identical to a batch run over the union
+    // input (Lineage.compactServingTiles). `--report` auto-detects the
+    // delta root and reports overlap as expected, not as a resume bug.
+    // Trigger.AvailableNow drains what exists and stops, so the mode
+    // drives as a CLI.
     if (args.contains("--stream")) {
-      // positional shape differs from batch mode: <outDir> [watchDir] [zooms]
-      val positional = args.filterNot(_.startsWith("--"))
-      val cfg = GraftConfig(
-        outDir = positional.headOption.getOrElse("/tmp/graft-tiles"),
-        zooms = positional.lift(2).map(_.split(",").map(_.toInt).toSeq)
-          .getOrElse(Seq(4, 8, 12)))
-      val watchDir = positional.lift(1).getOrElse(s"${cfg.outDir}/incoming")
+      // tile parameters come from the SAME parser as batch mode (pass
+      // --config for non-default s2Level/hexRes/tileCap — parameter
+      // drift between a batch and a stream writing one table was the
+      // r3 gap); without --config the legacy positional shape
+      // <outDir> [watchDir] [zooms] still works
+      val rest = args.filterNot(a => a == "--stream" || a == "--resume")
+      val cfgIdx = rest.indexOf("--config")
+      val (cfg, watchDir) =
+        if (cfgIdx >= 0) {
+          val c = parseArgs(rest)
+          val cfgFile = rest(cfgIdx + 1)
+          val pos = rest.filterNot(_.startsWith("--")).filterNot(_ == cfgFile)
+          (c, pos.headOption.getOrElse(s"${c.outDir}/incoming"))
+        } else {
+          val positional = rest.filterNot(_.startsWith("--"))
+          val c = parseArgs(positional.take(1))
+            .copy(zooms = positional.lift(2).map(_.split(",").map(_.toInt).toSeq)
+              .getOrElse(Seq(4, 8, 12)))
+          (c, positional.lift(1).getOrElse(s"${c.outDir}/incoming"))
+        }
       val checkpoint = s"${cfg.outDir}/stream-checkpoint"
       val spark = session()
       val pageSchema = org.apache.spark.sql.Encoders
@@ -158,7 +212,8 @@ object Main {
         cfg.outDir, streamId = checkpoint)
       val query = pages.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
-          val tiles = tilesFor(spark, batch, cfg, resumeRoot = None)
+          val tiles = tilesFor(spark, batch, cfg, resumeRoot = None,
+            keepFeatures = true)
           sink(tiles, bid) match {
             case Some(snap) => println(
               s"committed snapshot ${snap.id} rows=${snap.rows} " +
@@ -190,17 +245,49 @@ object Main {
       spark.stop()
       return
     }
+    // full-product mode: pages → curated corpus → tiles, two committed
+    // lineage roots, one QA report across both (see [[e2e]])
+    if (args.contains("--e2e")) {
+      val cfg = parseArgs(args.filterNot(_ == "--e2e"))
+      val spark = session()
+      val t0 = System.nanoTime()
+      val (csnap, tsnap) = e2e(spark, cfg)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"e2e: curated snapshot ${csnap.id} rows=${csnap.rows}, " +
+        f"tile snapshot ${tsnap.id} rows=${tsnap.rows} in $secs%.1f s")
+      println("== curated root ==")
+      println(graft.plans.QaReport.report(spark, s"${cfg.outDir}/curated"))
+      println("== tiles root ==")
+      println(graft.plans.QaReport.report(spark, s"${cfg.outDir}/tiles"))
+      spark.stop()
+      return
+    }
     // table maintenance mode: rewrite active snapshots into one and
-    // physically expire the replaced ones — no pipeline run
+    // physically expire the replaced ones — no pipeline run. Delta
+    // roots (tiles committed with feature buffers, i.e. streamed) get
+    // the SERVING compaction — duplicate tile_ids merged + re-encoded
+    // to one authoritative row per tile; lean roots get the file-level
+    // rewrite.
     if (args.contains("--compact")) {
       val outDir = args.filterNot(_.startsWith("--")).headOption
         .getOrElse("/tmp/graft-tiles")
       val spark = session()
-      graft.plans.Lineage.compactSnapshots(spark, outDir) match {
+      val active = graft.plans.Lineage.activeSnapshots(outDir)
+      val isDelta = active.size >= 2 && graft.plans.Lineage
+        .activeTable(spark, outDir).columns.contains("feats")
+      // honor a --config tileCap so the merged re-encode uses the same
+      // cap the stream committed with (defaults match GraftConfig)
+      val cap = parseArgs(args.filterNot(_ == "--compact")).tileCap
+      val compacted =
+        if (isDelta) graft.plans.Lineage.compactServingTiles(spark, outDir, cap)
+        else graft.plans.Lineage.compactSnapshots(spark, outDir)
+      compacted match {
         case Some(s) =>
           val expired = graft.plans.Lineage.expireSnapshots(outDir)
           println(s"compacted into snapshot ${s.id} rows=${s.rows} " +
-            s"bytes=${s.bytes}; expired snapshots ${expired.mkString(",")}")
+            s"bytes=${s.bytes}" +
+            (if (isDelta) " (serving: merged duplicate tile_ids)" else "") +
+            s"; expired snapshots ${expired.mkString(",")}")
         case None => println("nothing to compact (fewer than 2 active snapshots)")
       }
       spark.stop()

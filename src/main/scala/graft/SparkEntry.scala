@@ -1598,9 +1598,12 @@ object SparkEntry {
         |  round(CASE WHEN n < 2 THEN 0.0 ELSE topb * 1.0 / (n - 1) END, 6) AS top_2gram_frac
         |FROM agg""".stripMargin,
     "q88_pagerank" ->
-      // unrolled power iteration: identical double operation order
-      // ((1−d)/N precomputed as a division, d·coalesce(Σ,0)); DISTINCT
-      // non-loop edges; dangling mass dropped on both sides
+      // unrolled power iteration. Per-term double ops are identical on
+      // both engines; the per-node SUM is made order-insensitive by
+      // rounding each contribution onto an exact 1e-15 integer grid and
+      // summing BIGINTs (LinkGraph does the same) — parity no longer
+      // depends on both engines accumulating doubles in the same order.
+      // DISTINCT non-loop edges; dangling mass dropped on both sides
       """WITH e0 AS (
         |  SELECT doc_id % 50 AS src, (doc_id * 7) % 50 AS dst FROM documents
         |  UNION ALL
@@ -1616,25 +1619,25 @@ object SparkEntry {
         |p1 AS MATERIALIZED (
         |  SELECT nodes.node,
         |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
-        |      + CAST(0.85 AS DOUBLE) * coalesce(s.inc, CAST(0.0 AS DOUBLE)) AS pr
+        |      + CAST(0.85 AS DOUBLE) * (CAST(coalesce(s.inc, 0) AS DOUBLE) / 1e15) AS pr
         |  FROM nodes CROSS JOIN nn LEFT JOIN (
-        |    SELECT e.dst AS node, sum(p.pr / od.outdeg) AS inc
+        |    SELECT e.dst AS node, sum(CAST(round(p.pr / od.outdeg * 1e15) AS BIGINT)) AS inc
         |    FROM e JOIN p0 p ON e.src = p.node JOIN od ON od.src = e.src
         |    GROUP BY e.dst) s ON s.node = nodes.node),
         |p2 AS MATERIALIZED (
         |  SELECT nodes.node,
         |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
-        |      + CAST(0.85 AS DOUBLE) * coalesce(s.inc, CAST(0.0 AS DOUBLE)) AS pr
+        |      + CAST(0.85 AS DOUBLE) * (CAST(coalesce(s.inc, 0) AS DOUBLE) / 1e15) AS pr
         |  FROM nodes CROSS JOIN nn LEFT JOIN (
-        |    SELECT e.dst AS node, sum(p.pr / od.outdeg) AS inc
+        |    SELECT e.dst AS node, sum(CAST(round(p.pr / od.outdeg * 1e15) AS BIGINT)) AS inc
         |    FROM e JOIN p1 p ON e.src = p.node JOIN od ON od.src = e.src
         |    GROUP BY e.dst) s ON s.node = nodes.node),
         |p3 AS MATERIALIZED (
         |  SELECT nodes.node,
         |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
-        |      + CAST(0.85 AS DOUBLE) * coalesce(s.inc, CAST(0.0 AS DOUBLE)) AS pr
+        |      + CAST(0.85 AS DOUBLE) * (CAST(coalesce(s.inc, 0) AS DOUBLE) / 1e15) AS pr
         |  FROM nodes CROSS JOIN nn LEFT JOIN (
-        |    SELECT e.dst AS node, sum(p.pr / od.outdeg) AS inc
+        |    SELECT e.dst AS node, sum(CAST(round(p.pr / od.outdeg * 1e15) AS BIGINT)) AS inc
         |    FROM e JOIN p2 p ON e.src = p.node JOIN od ON od.src = e.src
         |    GROUP BY e.dst) s ON s.node = nodes.node)
         |SELECT node, round(pr, 6) AS pagerank FROM p3""".stripMargin,

@@ -19,6 +19,16 @@ object LinkGraph {
     * independently replayable by an unrolled SQL oracle (q88); dangling
     * mass is dropped, matching the oracle's formula exactly.
     * Self-loops and duplicate edges are removed first.
+    *
+    * ORDER-INSENSITIVE aggregation: each per-edge contribution pr/out(u)
+    * is a deterministic double, but a double SUM depends on accumulation
+    * order — Spark's partial aggregation and another engine's scan order
+    * need not agree, which made oracle parity hinge on luck near
+    * round(·,6) boundaries. Contributions are therefore rounded to an
+    * exact 1e-15 integer grid and summed as LONGS (exact, any order),
+    * then scaled back: Σ contribs ≤ total PR mass ≈ 1, so the long sum
+    * stays ≤ ~1e15 — no overflow at any graph size — and the grid keeps
+    * ~15 significant digits, far below the 1e-6 output rounding.
     */
   def pageRank(edges: DataFrame, iters: Int = 3,
                damping: Double = 0.85): DataFrame = {
@@ -39,12 +49,15 @@ object LinkGraph {
       val contrib = e
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
         .join(outdeg, Seq("src"))
-        .select(col("dst").as("node"), (col("pr") / col("outdeg")).as("c"))
+        .select(col("dst").as("node"),
+          // exact integer grid → the long sum is order-insensitive
+          round((col("pr") / col("outdeg")) * lit(1e15)).cast("long").as("c"))
         .groupBy("node").agg(sum(col("c")).as("in"))
       pr = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit((1.0 - damping) / n) +
-            lit(damping) * coalesce(col("in"), lit(0.0))).as("pr"))
+            lit(damping) * (coalesce(col("in"), lit(0L)).cast("double")
+              / lit(1e15))).as("pr"))
         .localCheckpoint(true)
     }
     pr.select(col("node"), round(col("pr"), 6).as("pagerank"))

@@ -8,6 +8,14 @@ import graft.core.{MvtEncoder, WebMercator}
 final case class TileRow(zoom: Int, x: Long, y: Long, n_features: Int,
                          mvt_bytes: Array[Byte])
 
+/** An encoded tile row that KEEPS its top-capped feature buffer — the
+  * mergeable delta layout committed by streaming ingestion so a serving
+  * compaction can regroup duplicate tile_ids and re-encode exactly
+  * (`feats` lands in parquet as array<struct>, not opaque bytes).
+  */
+final case class TileRowF(zoom: Int, x: Long, y: Long, n_features: Int,
+                          mvt_bytes: Array[Byte], feats: Array[Feat])
+
 /** Feature → zoom/x/y MVT tiles.
   *
   * Scale design (the judge's 100 TB question):
@@ -87,25 +95,34 @@ object Tiler {
       .agg(topk), layerName)
   }
 
+  /** Encode one tile's top-capped (sorted) feature buffer into its MVT
+    * row — the single definition shared by the per-zoom build, the
+    * pyramid rollup, the feature-keeping stream encode, and the serving
+    * merge compaction (byte-identical output across all of them by
+    * construction).
+    */
+  private def encodeOne(tileId: Long, feats: Array[Feat],
+                        layerName: String): TileRow = {
+    val zoom = WebMercator.tileIdZoom(tileId)
+    val tx = WebMercator.tileIdX(tileId)
+    val ty = WebMercator.tileIdY(tileId)
+    val mvtFeatures = feats.zipWithIndex.map { case (f, i) =>
+      val lx = WebMercator.localX(f.lon, zoom, tx)
+      val ly = WebMercator.localY(f.lat, zoom, ty)
+      MvtEncoder.Feature(i.toLong + 1, MvtEncoder.GeomPoint,
+        Array(Array((lx, ly))),
+        Seq("kind" -> MvtEncoder.SVal(f.kind)) ++
+          (if (f.name.nonEmpty) Seq("name" -> MvtEncoder.SVal(f.name)) else Nil))
+    }
+    val bytes = MvtEncoder.encodeTile(Seq(layerName -> mvtFeatures.toSeq))
+    TileRow(zoom, tx, ty, feats.length, bytes)
+  }
+
   /** Encode per-tile top-capped feature buffers into MVT rows. */
   private def encodeBuffered(buffered: Dataset[(Long, Array[Feat])],
                              layerName: String): Dataset[TileRow] = {
     import buffered.sparkSession.implicits._
-    buffered.map { case (tileId, feats) =>
-      val zoom = WebMercator.tileIdZoom(tileId)
-      val tx = WebMercator.tileIdX(tileId)
-      val ty = WebMercator.tileIdY(tileId)
-      val mvtFeatures = feats.zipWithIndex.map { case (f, i) =>
-        val lx = WebMercator.localX(f.lon, zoom, tx)
-        val ly = WebMercator.localY(f.lat, zoom, ty)
-        MvtEncoder.Feature(i.toLong + 1, MvtEncoder.GeomPoint,
-          Array(Array((lx, ly))),
-          Seq("kind" -> MvtEncoder.SVal(f.kind)) ++
-            (if (f.name.nonEmpty) Seq("name" -> MvtEncoder.SVal(f.name)) else Nil))
-      }
-      val bytes = MvtEncoder.encodeTile(Seq(layerName -> mvtFeatures.toSeq))
-      TileRow(zoom, tx, ty, feats.length, bytes)
-    }
+    buffered.map { case (tileId, feats) => encodeOne(tileId, feats, layerName) }
   }
 
   /** Pyramid tile build: assign ONLY the finest zoom (1× fan-out of the
@@ -155,9 +172,72 @@ object Tiler {
     coarser.foldLeft(encodeBuffered(base, layerName))(_ unionByName _)
   }
 
+  /** Encode pre-assigned rows into MVT tiles AND keep the top-capped
+    * feature buffer as a `feats` column (array<struct> in parquet) — the
+    * committed layout for DELTA snapshots (streaming): a later serving
+    * compaction regroups duplicate tile_ids across snapshots and
+    * re-encodes the merged buffers through [[mergeTiles]]. The buffers
+    * are the MERGEABLE state: each batch's top-cap necessarily contains
+    * every member of the global top-cap that the batch saw (the pyramid
+    * subset argument), so re-aggregating them reproduces the
+    * union-input batch encode bit-for-bit. Costs the feature payload
+    * (~bytes of the tile again) per delta snapshot; batch mode keeps
+    * the lean layout.
+    */
+  def encodeTilesKeepFeatures(zoomed: DataFrame, cap: Int = 4096,
+                              layerName: String = "features"): Dataset[TileRowF] = {
+    val spark = zoomed.sparkSession
+    import spark.implicits._
+    val proj = zoomed.select(
+        col("tile_id"), col("fkey"), col("lon"), col("lat"),
+        col("kind"), col("name"))
+      .as[(Long, Long, Double, Double, String, String)]
+    val topk = new TopKFeatures(cap).toColumn
+    proj.groupByKey(_._1)
+      .mapValues(r => Feat(r._2, r._3, r._4, r._5, r._6))
+      .agg(topk)
+      .map { case (tileId, feats) =>
+        val t = encodeOne(tileId, feats, layerName)
+        TileRowF(t.zoom, t.x, t.y, t.n_features, t.mvt_bytes, feats)
+      }
+  }
+
+  /** Merge tiles committed WITH feature buffers (the delta layout) into
+    * one row per tile_id: explode the buffers, re-run the same bounded
+    * top-cap reduction, re-encode once. One shuffle keyed by tile_id
+    * over (rows × ≤cap) features — never the raw input; exact because
+    * per-batch top-caps are supersets of their contribution to the
+    * global top-cap.
+    */
+  def mergeTiles(tilesWithFeats: DataFrame, cap: Int = 4096,
+                 layerName: String = "features"): Dataset[TileRowF] = {
+    val spark = tilesWithFeats.sparkSession
+    import spark.implicits._
+    val feats = tilesWithFeats
+      .select(col("tile_id"), explode(col("feats")).as("f"))
+      .select(col("tile_id"), col("f.fkey"), col("f.lon"), col("f.lat"),
+        col("f.kind"), col("f.name"))
+      .as[(Long, Long, Double, Double, String, String)]
+    val topk = new TopKFeatures(cap).toColumn
+    feats.groupByKey(_._1)
+      .mapValues(r => Feat(r._2, r._3, r._4, r._5, r._6))
+      .agg(topk)
+      .map { case (tileId, fs) =>
+        val t = encodeOne(tileId, fs, layerName)
+        TileRowF(t.zoom, t.x, t.y, t.n_features, t.mvt_bytes, fs)
+      }
+  }
+
   /** Tile DataFrame with sizes + packed tile_id — input to lineage metrics. */
-  def tilesWithStats(tiles: Dataset[TileRow]): DataFrame = {
-    tiles.toDF()
+  def tilesWithStats(tiles: Dataset[TileRow]): DataFrame =
+    withStats(tiles.toDF())
+
+  /** Column-generic variant of [[tilesWithStats]] — works for any frame
+    * carrying (zoom, x, y, mvt_bytes), e.g. the feature-keeping delta
+    * layout. The packed tile_id matches WebMercator.tileId exactly.
+    */
+  def withStats(tiles: DataFrame): DataFrame = {
+    tiles
       .withColumn("byte_len", length(col("mvt_bytes")))
       .withColumn("tile_id",
         shiftleft(col("zoom").cast("long"), 58)

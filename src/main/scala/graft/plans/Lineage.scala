@@ -59,6 +59,15 @@ object Lineage {
   def activeSnapshots(root: String): Seq[Long] =
     committedSnapshots(root).filterNot(replacedSnapshots(root))
 
+  /** The table's current contents: every active snapshot's data as one
+    * DataFrame (empty frame when nothing is committed).
+    */
+  def activeTable(spark: SparkSession, root: String): DataFrame = {
+    val snaps = activeSnapshots(root)
+    if (snaps.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(snaps.map(s => s"$root/data/snap-$s"): _*)
+  }
+
   /** Rewrite all active snapshots into ONE (Iceberg's rewrite_data_files
     * + the visibility half of expire_snapshots): the compacted manifest's
     * atomic rename is the flip — it lists the snapshots it `replaces`, and
@@ -72,9 +81,53 @@ object Lineage {
                        note: String = "compaction"): Option[Snapshot] = {
     val active = activeSnapshots(root)
     if (active.size < 2) return None
-    val df = spark.read.parquet(active.map(s => s"$root/data/snap-$s"): _*)
-    Some(commit(df, root, note, replaces = active))
+    Some(commit(activeTable(spark, root), root, note, replaces = active))
   }
+
+  /** SERVING compaction for delta-tile roots (streamed ingestion): active
+    * snapshots each carry per-BATCH tiles, so a hot tile id recurs across
+    * snapshots with partial `mvt_bytes`. This pass regroups the committed
+    * feature buffers by tile_id, re-runs the same bounded top-cap
+    * reduction, and re-encodes ONE authoritative row per tile —
+    * byte-identical to a batch run over the union input (the per-batch
+    * top-caps are supersets of their contribution to the global top-cap).
+    * Requires the delta layout (a `feats` column — commit via
+    * `Tiler.encodeTilesKeepFeatures`); the compacted snapshot keeps
+    * `feats`, so later stream batches + another compaction compose.
+    * The atomic `replaces` manifest rename is the flip, exactly as in
+    * [[compactSnapshots]]. Reference precedent: the append-once
+    * one-authoritative-row-per-key semantics (saveio.py:30-38).
+    */
+  def compactServingTiles(spark: SparkSession, root: String,
+                          cap: Int = 4096, layerName: String = "features",
+                          note: String = "serving compaction"): Option[Snapshot] = {
+    val active = activeSnapshots(root)
+    if (active.size < 2) return None
+    val df = activeTable(spark, root)
+    require(df.columns.contains("feats"),
+      "serving compaction needs the delta layout (a feats column — " +
+        "commit tiles via Tiler.encodeTilesKeepFeatures); this root holds " +
+        "lean tiles, use compactSnapshots")
+    val merged = graft.operators.Tiler.withStats(
+      graft.operators.Tiler.mergeTiles(df, cap, layerName).toDF())
+    Some(commit(merged, root, note, replaces = active))
+  }
+
+  /** Manifest note of a committed snapshot (None when unreadable). */
+  def manifestNote(root: String, id: Long): Option[String] = {
+    val p = manifestDir(root).resolve(s"snap-$id.json")
+    if (!Files.exists(p)) return None
+    """"note": "((?:[^"\\]|\\.)*)"""".r
+      .findFirstMatchIn(Files.readString(p)).map(_.group(1))
+  }
+
+  /** A root whose ACTIVE snapshots include streamed delta commits —
+    * duplicate tile_ids across snapshots are expected there (the QA
+    * overlap check reads this to switch semantics).
+    */
+  def isDeltaRoot(root: String): Boolean =
+    activeSnapshots(root).exists(id =>
+      manifestNote(root, id).exists(_.startsWith("stream=")))
 
   /** Time travel: the table as of snapshot `asOf` — every snapshot
     * committed up to that id, minus those replaced by a compaction that
@@ -221,9 +274,14 @@ object Lineage {
       java.nio.file.StandardOpenOption.APPEND)
   }
 
-  /** Combined metrics table across active snapshots. */
+  /** Combined metrics table across active snapshots. Snapshots whose
+    * metrics directory was lost are SKIPPED here (a multi-path read
+    * would throw and take every caller down with it) — the QA report's
+    * conservation check is where their loss is surfaced as a verdict.
+    */
   def metricsTable(spark: SparkSession, root: String): DataFrame = {
     val snaps = activeSnapshots(root)
+      .filter(s => Files.isDirectory(Paths.get(root, "metrics", s"snap-$s")))
     if (snaps.isEmpty)
       spark.emptyDataFrame
     else

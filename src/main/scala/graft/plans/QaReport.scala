@@ -55,9 +55,19 @@ object QaReport {
     } yield (r, b)
   }
 
+  /** `delta = true` switches the cross-snapshot overlap check to
+    * delta-tile semantics (streamed roots): duplicate tile_ids across
+    * snapshots are EXPECTED there — each micro-batch commits that
+    * batch's partial tiles — so overlap is reported as an informational
+    * pass with the duplicate fraction, and the fix-forward action
+    * (serving compaction) is named instead of flagging a resume bug.
+    * `Main --report` auto-detects delta roots from stream manifest
+    * notes (or takes `--delta` explicitly).
+    */
   def verdicts(spark: SparkSession, root: String,
                skewFactor: Double = 2.0,
-               driftRatio: Double = 3.0): Seq[Verdict] = {
+               driftRatio: Double = 3.0,
+               delta: Boolean = false): Seq[Verdict] = {
     val active = Lineage.activeSnapshots(root)
     if (active.isEmpty)
       return Seq(Verdict("lineage", 0L, "unknown", 0, 0,
@@ -89,6 +99,13 @@ object QaReport {
           Seq(Verdict("conservation", id, "fail", 0, manRows.toDouble,
             s"data directory for snapshot $id is missing " +
               s"(manifest claims $manRows rows)"))
+        case Some((manRows, manBytes))
+            if !Files.isDirectory(Paths.get(root, "metrics", s"snap-$id")) =>
+          // same filesystem-loss class as a lost data dir: the lineage
+          // record itself is gone (metricsTable skips it to stay readable)
+          Seq(Verdict("conservation", id, "fail", 0, manRows.toDouble,
+            s"metrics directory for snapshot $id is missing " +
+              s"(manifest claims $manRows rows; per-partition lineage lost)"))
         case Some((manRows, manBytes)) =>
           val dataRows = spark.read.parquet(s"$root/data/snap-$id").count()
           val okRows = manRows == mRows && mRows == dataRows
@@ -127,7 +144,15 @@ object QaReport {
         .head().toSeq.map(_.asInstanceOf[Long]).toArray
       val dup = total - distinct
       val frac = if (total > 0) dup.toDouble / total else 0.0
-      Seq(Verdict("overlap", 0L, if (dup == 0) "pass" else "fail",
+      if (delta)
+        // streamed delta root: per-batch tiles legitimately share ids —
+        // report the expected-overlap magnitude, point at the serving
+        // compaction, never fail
+        Seq(Verdict("overlap", 0L, "pass", frac, 1.0,
+          f"delta root: $dup of $total tile rows share a tile_id across " +
+            f"${present.size} snapshots (${frac * 100}%.1f%% expected stream " +
+            "overlap) — run serving compaction (--compact) for one row per tile"))
+      else Seq(Verdict("overlap", 0L, if (dup == 0) "pass" else "fail",
         frac, 0.0,
         if (dup == 0) s"$total rows across ${present.size} snapshots, all tile_ids disjoint"
         else f"$dup duplicate tile rows of $total (${frac * 100}%.1f%% of the table " +
@@ -189,5 +214,8 @@ object QaReport {
   }
 
   def report(spark: SparkSession, root: String): String =
-    summary(verdicts(spark, root))
+    report(spark, root, delta = false)
+
+  def report(spark: SparkSession, root: String, delta: Boolean): String =
+    summary(verdicts(spark, root, delta = delta))
 }

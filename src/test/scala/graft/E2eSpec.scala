@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `Main --e2e`: the full product story (pages → curated corpus → tiles)
+  * as two committed lineage roots with healthy QA, idempotent under
+  * `--resume` (curate's fp anti-join + the tile anti-join).
+  */
+class E2eSpec extends AnyFunSuite {
+  import SharedSpark._
+  import graft.plans.QaReport
+
+  test("curate + tile roots commit and report healthy; resume rerun adds nothing") {
+    val out = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+    val cfg = GraftConfig(outDir = out, nPages = 600, zooms = Seq(4, 8))
+    val (c1, t1) = Main.e2e(spark, cfg)
+    assert(c1.rows > 0 && t1.rows > 0)
+    // curation bit: the synth corpus carries exact dups by construction
+    assert(c1.rows < 600, s"curate kept ${c1.rows} of 600")
+    val vsC = QaReport.verdicts(spark, s"$out/curated")
+    assert(vsC.forall(_.ok), QaReport.summary(vsC))
+    val vsT = QaReport.verdicts(spark, s"$out/tiles")
+    assert(vsT.forall(_.ok), QaReport.summary(vsT))
+
+    // identical input rerun with --resume: both stages commit ZERO new
+    // rows (nothing re-curated, no tile re-encoded) and stay healthy
+    val (c2, t2) = Main.e2e(spark, cfg.copy(resume = true))
+    assert(c2.rows === 0L, s"resume re-curated ${c2.rows} docs")
+    assert(t2.rows === 0L, s"resume re-encoded ${t2.rows} tiles")
+    val vsC2 = QaReport.verdicts(spark, s"$out/curated")
+    assert(vsC2.forall(_.ok), QaReport.summary(vsC2))
+    val vsT2 = QaReport.verdicts(spark, s"$out/tiles")
+    assert(vsT2.forall(_.ok), QaReport.summary(vsT2))
+  }
+}
