@@ -130,6 +130,30 @@ object Main {
     (csnap, tsnap)
   }
 
+  /** `--stream` argument shape → (config, watchDir). Tile parameters
+    * come from the SAME parser as batch mode (pass `--config` for
+    * non-default s2Level/hexRes/tileCap — parameter drift between a
+    * batch and a stream writing one table was the r3 gap); without
+    * `--config` the legacy positional shape `<outDir> [watchDir]
+    * [zooms]` still works.
+    */
+  def parseStreamArgs(args: Array[String]): (GraftConfig, String) = {
+    val rest = args.filterNot(a => a == "--stream" || a == "--resume")
+    val cfgIdx = rest.indexOf("--config")
+    if (cfgIdx >= 0) {
+      val c = parseArgs(rest)
+      val cfgFile = rest(cfgIdx + 1)
+      val pos = rest.filterNot(_.startsWith("--")).filterNot(_ == cfgFile)
+      (c, pos.headOption.getOrElse(s"${c.outDir}/incoming"))
+    } else {
+      val positional = rest.filterNot(_.startsWith("--"))
+      val c = parseArgs(positional.take(1))
+        .copy(zooms = positional.lift(2).map(_.split(",").map(_.toInt).toSeq)
+          .getOrElse(Seq(4, 8, 12)))
+      (c, positional.lift(1).getOrElse(s"${c.outDir}/incoming"))
+    }
+  }
+
   def parseArgs(args: Array[String]): GraftConfig = {
     val cfgIdx = args.indexOf("--config")
     if (cfgIdx >= 0) {
@@ -183,26 +207,7 @@ object Main {
     // Trigger.AvailableNow drains what exists and stops, so the mode
     // drives as a CLI.
     if (args.contains("--stream")) {
-      // tile parameters come from the SAME parser as batch mode (pass
-      // --config for non-default s2Level/hexRes/tileCap — parameter
-      // drift between a batch and a stream writing one table was the
-      // r3 gap); without --config the legacy positional shape
-      // <outDir> [watchDir] [zooms] still works
-      val rest = args.filterNot(a => a == "--stream" || a == "--resume")
-      val cfgIdx = rest.indexOf("--config")
-      val (cfg, watchDir) =
-        if (cfgIdx >= 0) {
-          val c = parseArgs(rest)
-          val cfgFile = rest(cfgIdx + 1)
-          val pos = rest.filterNot(_.startsWith("--")).filterNot(_ == cfgFile)
-          (c, pos.headOption.getOrElse(s"${c.outDir}/incoming"))
-        } else {
-          val positional = rest.filterNot(_.startsWith("--"))
-          val c = parseArgs(positional.take(1))
-            .copy(zooms = positional.lift(2).map(_.split(",").map(_.toInt).toSeq)
-              .getOrElse(Seq(4, 8, 12)))
-          (c, positional.lift(1).getOrElse(s"${c.outDir}/incoming"))
-        }
+      val (cfg, watchDir) = parseStreamArgs(args)
       val checkpoint = s"${cfg.outDir}/stream-checkpoint"
       val spark = session()
       val pageSchema = org.apache.spark.sql.Encoders

@@ -2,6 +2,38 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+/** `--stream` argument parsing: tile parameters must resolve through
+  * the same parser as batch mode (the r3 parameter-drift gap).
+  */
+class StreamArgsSpec extends AnyFunSuite {
+  test("legacy positional shape keeps working") {
+    val (cfg, watch) = Main.parseStreamArgs(
+      Array("--stream", "/tmp/t", "/tmp/t/in", "3,7"))
+    assert(cfg.outDir === "/tmp/t")
+    assert(watch === "/tmp/t/in")
+    assert(cfg.zooms === Seq(3, 7))
+    // unspecified tile parameters = the SAME defaults batch mode uses
+    assert(cfg.tileCap === GraftConfig().tileCap)
+    assert(cfg.s2Level === GraftConfig().s2Level)
+  }
+
+  test("--config carries every tile parameter into stream mode") {
+    val f = java.nio.file.Files.createTempFile("graft-cfg", ".json")
+    java.nio.file.Files.writeString(f,
+      """{"outDir":"/tmp/cfged","zooms":[5,9],"tileCap":128,"s2Level":14,"hexRes":6}""")
+    val (cfg, watch) = Main.parseStreamArgs(
+      Array("--stream", "--config", f.toString))
+    assert(cfg.outDir === "/tmp/cfged")
+    assert(cfg.zooms === Seq(5, 9))
+    assert(cfg.tileCap === 128 && cfg.s2Level === 14 && cfg.hexRes === 6)
+    assert(watch === "/tmp/cfged/incoming")
+    // an explicit watch dir rides as the positional next to --config
+    val (_, w2) = Main.parseStreamArgs(
+      Array("--stream", "--config", f.toString, "/elsewhere/in"))
+    assert(w2 === "/elsewhere/in")
+  }
+}
+
 /** `Main --e2e`: the full product story (pages → curated corpus → tiles)
   * as two committed lineage roots with healthy QA, idempotent under
   * `--resume` (curate's fp anti-join + the tile anti-join).
