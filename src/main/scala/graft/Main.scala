@@ -278,8 +278,12 @@ object Main {
         .getOrElse("/tmp/graft-tiles")
       val spark = session()
       val active = graft.plans.Lineage.activeSnapshots(outDir)
-      val isDelta = active.size >= 2 && graft.plans.Lineage
-        .activeTable(spark, outDir).columns.contains("feats")
+      // per-snapshot detection: a mixed lean/delta root must surface the
+      // clear compactServingTiles error, not silently take the lean path
+      // (whose union read would also misbehave on mixed schemas)
+      val hasFeats = active.map(id => spark.read
+        .parquet(s"$outDir/data/snap-$id").columns.contains("feats"))
+      val isDelta = active.size >= 2 && hasFeats.exists(identity)
       // honor a --config tileCap so the merged re-encode uses the same
       // cap the stream committed with (defaults match GraftConfig)
       val cap = parseArgs(args.filterNot(_ == "--compact")).tileCap

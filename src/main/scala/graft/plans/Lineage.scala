@@ -103,13 +103,22 @@ object Lineage {
                           note: String = "serving compaction"): Option[Snapshot] = {
     val active = activeSnapshots(root)
     if (active.size < 2) return None
-    val df = activeTable(spark, root)
-    require(df.columns.contains("feats"),
-      "serving compaction needs the delta layout (a feats column — " +
-        "commit tiles via Tiler.encodeTilesKeepFeatures); this root holds " +
-        "lean tiles, use compactSnapshots")
+    // EVERY snapshot must carry the buffers, checked per snapshot (schema
+    // metadata only): a union read takes its schema from one file, so a
+    // MIXED root (lean + delta writers) could pass a union-level check
+    // while explode(feats = null) silently DROPPED the lean snapshots'
+    // tiles from the merged table
+    val lean = active.filterNot(id =>
+      spark.read.parquet(s"$root/data/snap-$id").columns.contains("feats"))
+    require(lean.isEmpty,
+      "serving compaction needs the delta layout (a feats column — commit " +
+        s"via Tiler.encodeTilesKeepFeatures) in EVERY active snapshot; " +
+        s"snapshot(s) ${lean.mkString(",")} hold lean tiles" +
+        (if (lean.size == active.size) " — use compactSnapshots"
+         else " — this root mixes lean and delta writers"))
     val merged = graft.operators.Tiler.withStats(
-      graft.operators.Tiler.mergeTiles(df, cap, layerName).toDF())
+      graft.operators.Tiler.mergeTiles(activeTable(spark, root), cap, layerName)
+        .toDF())
     Some(commit(merged, root, note, replaces = active))
   }
 

@@ -93,6 +93,16 @@ class ServingCompactSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Lineage.compactServingTiles(spark, root)
     }
+    // MIXED root (a delta snapshot lands next to the lean ones): must
+    // refuse naming the lean snapshots — a union-schema check would have
+    // silently dropped their tiles via explode(feats = null)
+    Lineage.commit(Main.tilesFor(spark, pages, cfg, None, keepFeatures = true),
+      root, "stream=test batch=0")
+    val e = intercept[IllegalArgumentException] {
+      Lineage.compactServingTiles(spark, root)
+    }
+    assert(e.getMessage.contains("1,2") && e.getMessage.contains("mixes"),
+      e.getMessage)
     // ADVICE r3: a deleted metrics directory must yield a FAIL verdict
     // from --report, not a multi-path read stack trace
     val metrics = java.nio.file.Paths.get(root, "metrics", "snap-1")
