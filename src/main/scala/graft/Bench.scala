@@ -118,13 +118,15 @@ object Bench {
         }
         genSecs += t
       }
-    // scaling input defaults to 2× the headline table: at 200k pages a
-    // clean 8-core run is ~2 s and fixed per-job cost (planning, stage
-    // setup) eats ~5-10% of it; 400k amortizes that below the gate's
-    // noise floor while keeping low-core exposure to host-steal bursts
-    // short (~11 s)
+    // scaling input defaults to 8× the headline table: the fused-encode
+    // engine runs 200k pages in ~1 s at 8 cores, so fixed per-job cost
+    // (planning, stage setup, task dispatch) would eat 15%+ of a small
+    // scaling run and read as false inefficiency — measured sweep:
+    // 400k → eff 0.78, 800k → 0.81, 1.6M → 0.86 with work/cpu_ratio
+    // ≈ 1.03 (same code, same host window). 1.6M keeps a pair ~35 s,
+    // well inside the reserved budget's ~5 retries.
     val scalePages = sys.env.get("SPARK_GRAFT_SCALE_PAGES").map(_.toLong)
-      .getOrElse(nPages * 2)
+      .getOrElse(nPages * 8)
     val scalePath =
       if (scalePages == nPages) pagesPath else s"/tmp/graft-bench-pages-$scalePages"
     locally { // generate all inputs up front in a throwaway full-core session

@@ -74,6 +74,20 @@ object Profile {
       features.filter(col("lat").isNotNull), Seq(4, 8, 12))
     t("assign_tiles")(zoomed.count())
     t("encode_tiles")(graft.operators.Tiler.encodeTiles(zoomed).count())
+    // split the encode stage: top-cap aggregation (shuffle + buffers)
+    // vs the per-tile MVT encode proper
+    locally {
+      import spark.implicits._
+      import graft.operators.{Feat, TopKFeatures}
+      val proj = zoomed.select(
+          col("tile_id"), col("fkey"), col("lon"), col("lat"),
+          col("kind"), col("name"))
+        .as[(Long, Long, Double, Double, String, String)]
+      val topk = new TopKFeatures(4096).toColumn
+      t("encode_agg_only")(proj.groupByKey(_._1)
+        .mapValues(r => Feat(r._2, r._3, r._4, r._5, r._6))
+        .agg(topk).count())
+    }
     // isolate mention kinds
     val base = pages.select("url", "text")
     t("regex_labeled")(base.select(regexp_extract_all(col("text"),

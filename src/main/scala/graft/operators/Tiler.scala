@@ -88,11 +88,17 @@ object Tiler {
         col("kind"), col("name"))
       .as[(Long, Long, Double, Double, String, String)]
 
-    val topk = new TopKFeatures(cap).toColumn
-    encodeBuffered(proj
-      .groupByKey(_._1)
-      .mapValues(r => Feat(r._2, r._3, r._4, r._5, r._6))
-      .agg(topk), layerName)
+    // encode fused into the aggregator's finish (TopKTileEncode): the
+    // buffer → TileRow conversion happens once inside the agg, never as
+    // a kryo'd agg-output row + downstream map. The trailing select is a
+    // Tungsten struct projection (no object round trip).
+    val enc = new TopKTileEncode(cap, layerName).toColumn
+    proj.groupByKey(_._1)
+      .mapValues(r => (r._1, Feat(r._2, r._3, r._4, r._5, r._6)))
+      .agg(enc)
+      .toDF("__tid", "tile")
+      .select("tile.*")
+      .as[TileRow]
   }
 
   /** Encode one tile's top-capped (sorted) feature buffer into its MVT
@@ -101,21 +107,27 @@ object Tiler {
     * merge compaction (byte-identical output across all of them by
     * construction).
     */
-  private def encodeOne(tileId: Long, feats: Array[Feat],
+  private[operators] def encodeOne(tileId: Long, feats: Array[Feat],
                         layerName: String): TileRow = {
     val zoom = WebMercator.tileIdZoom(tileId)
     val tx = WebMercator.tileIdX(tileId)
     val ty = WebMercator.tileIdY(tileId)
-    val mvtFeatures = feats.zipWithIndex.map { case (f, i) =>
-      val lx = WebMercator.localX(f.lon, zoom, tx)
-      val ly = WebMercator.localY(f.lat, zoom, ty)
-      MvtEncoder.Feature(i.toLong + 1, MvtEncoder.GeomPoint,
-        Array(Array((lx, ly))),
-        Seq("kind" -> MvtEncoder.SVal(f.kind)) ++
-          (if (f.name.nonEmpty) Seq("name" -> MvtEncoder.SVal(f.name)) else Nil))
+    // encodePointTile = the allocation-free fast path; byte-identical to
+    // the generic encodeTile for point features (MvtEncoderSpec parity)
+    val n = feats.length
+    val xs = new Array[Int](n); val ys = new Array[Int](n)
+    val kinds = new Array[String](n); val names = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val f = feats(i)
+      xs(i) = WebMercator.localX(f.lon, zoom, tx)
+      ys(i) = WebMercator.localY(f.lat, zoom, ty)
+      kinds(i) = f.kind
+      names(i) = f.name
+      i += 1
     }
-    val bytes = MvtEncoder.encodeTile(Seq(layerName -> mvtFeatures.toSeq))
-    TileRow(zoom, tx, ty, feats.length, bytes)
+    val bytes = MvtEncoder.encodePointTile(layerName, xs, ys, kinds, names)
+    TileRow(zoom, tx, ty, n, bytes)
   }
 
   /** Encode per-tile top-capped feature buffers into MVT rows. */
@@ -192,14 +204,13 @@ object Tiler {
         col("tile_id"), col("fkey"), col("lon"), col("lat"),
         col("kind"), col("name"))
       .as[(Long, Long, Double, Double, String, String)]
-    val topk = new TopKFeatures(cap).toColumn
+    val enc = new TopKTileEncodeF(cap, layerName).toColumn
     proj.groupByKey(_._1)
-      .mapValues(r => Feat(r._2, r._3, r._4, r._5, r._6))
-      .agg(topk)
-      .map { case (tileId, feats) =>
-        val t = encodeOne(tileId, feats, layerName)
-        TileRowF(t.zoom, t.x, t.y, t.n_features, t.mvt_bytes, feats)
-      }
+      .mapValues(r => (r._1, Feat(r._2, r._3, r._4, r._5, r._6)))
+      .agg(enc)
+      .toDF("__tid", "tile")
+      .select("tile.*")
+      .as[TileRowF]
   }
 
   /** Merge tiles committed WITH feature buffers (the delta layout) into
@@ -218,14 +229,13 @@ object Tiler {
       .select(col("tile_id"), col("f.fkey"), col("f.lon"), col("f.lat"),
         col("f.kind"), col("f.name"))
       .as[(Long, Long, Double, Double, String, String)]
-    val topk = new TopKFeatures(cap).toColumn
+    val enc = new TopKTileEncodeF(cap, layerName).toColumn
     feats.groupByKey(_._1)
-      .mapValues(r => Feat(r._2, r._3, r._4, r._5, r._6))
-      .agg(topk)
-      .map { case (tileId, fs) =>
-        val t = encodeOne(tileId, fs, layerName)
-        TileRowF(t.zoom, t.x, t.y, t.n_features, t.mvt_bytes, fs)
-      }
+      .mapValues(r => (r._1, Feat(r._2, r._3, r._4, r._5, r._6)))
+      .agg(enc)
+      .toDF("__tid", "tile")
+      .select("tile.*")
+      .as[TileRowF]
   }
 
   /** Tile DataFrame with sizes + packed tile_id — input to lineage metrics. */

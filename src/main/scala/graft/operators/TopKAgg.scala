@@ -14,6 +14,12 @@ final case class Feat(fkey: Long, lon: Double, lat: Double,
   * preallocated cap-sized buffer per group would multiply to tens of GB.
   */
 final class TopKBuf(val cap: Int) extends Serializable {
+  /** Group key (packed tile id), carried so a fused finish() can encode
+    * without a second pass over the key column — set by [[TopKTileEncode]],
+    * unused by [[TopKFeatures]]. Long.MinValue = not set (0 is a valid
+    * tile id: zoom 0).
+    */
+  var tileId: Long = Long.MinValue
   var n: Int = 0
   private var size0 = math.min(8, cap)
   var fkeys: Array[Long] = new Array[Long](size0)
@@ -112,4 +118,56 @@ class TopKFeatures(cap: Int)
   override def finish(b: TopKBuf): Array[Feat] = b.toSorted
   override def bufferEncoder: Encoder[TopKBuf] = Encoders.kryo[TopKBuf]
   override def outputEncoder: Encoder[Array[Feat]] = Encoders.kryo[Array[Feat]]
+}
+
+/** [[TopKFeatures]] with the MVT encode FUSED into finish(): the
+  * aggregator emits the finished TileRow (product-encoded — Tungsten
+  * binary for mvt_bytes), so the per-tile feature buffer never makes the
+  * kryo round trip between an agg output row and a downstream map. On
+  * the 200k-page profile that round trip (serialize + deserialize ~1M
+  * Feat objects) was the single largest pipeline cost — bigger than the
+  * shuffle or the byte encoding itself. Input carries the group key per
+  * row (the buffer remembers it) because an Aggregator's finish sees
+  * only the buffer, never the key. Byte output is identical to
+  * TopKFeatures + encode (TilerSpec pyramid-parity pins it).
+  */
+class TopKTileEncode(cap: Int, layerName: String)
+    extends Aggregator[(Long, Feat), TopKBuf, TileRow] {
+  override def zero: TopKBuf = new TopKBuf(cap)
+  override def reduce(b: TopKBuf, a: (Long, Feat)): TopKBuf = {
+    b.tileId = a._1
+    b.offer(a._2.fkey, a._2.lon, a._2.lat, a._2.kind, a._2.name); b
+  }
+  override def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf = {
+    if (b1.tileId == Long.MinValue) b1.tileId = b2.tileId
+    b1.mergeFrom(b2)
+  }
+  override def finish(b: TopKBuf): TileRow =
+    Tiler.encodeOne(b.tileId, b.toSorted, layerName)
+  override def bufferEncoder: Encoder[TopKBuf] = Encoders.kryo[TopKBuf]
+  override def outputEncoder: Encoder[TileRow] = Encoders.product[TileRow]
+}
+
+/** [[TopKTileEncode]] for the DELTA layout: finish() also keeps the
+  * sorted buffer as the mergeable `feats` column (product-encoded
+  * array<struct> — what the parquet commit needs anyway).
+  */
+class TopKTileEncodeF(cap: Int, layerName: String)
+    extends Aggregator[(Long, Feat), TopKBuf, TileRowF] {
+  override def zero: TopKBuf = new TopKBuf(cap)
+  override def reduce(b: TopKBuf, a: (Long, Feat)): TopKBuf = {
+    b.tileId = a._1
+    b.offer(a._2.fkey, a._2.lon, a._2.lat, a._2.kind, a._2.name); b
+  }
+  override def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf = {
+    if (b1.tileId == Long.MinValue) b1.tileId = b2.tileId
+    b1.mergeFrom(b2)
+  }
+  override def finish(b: TopKBuf): TileRowF = {
+    val fs = b.toSorted
+    val t = Tiler.encodeOne(b.tileId, fs, layerName)
+    TileRowF(t.zoom, t.x, t.y, t.n_features, t.mvt_bytes, fs)
+  }
+  override def bufferEncoder: Encoder[TopKBuf] = Encoders.kryo[TopKBuf]
+  override def outputEncoder: Encoder[TileRowF] = Encoders.product[TileRowF]
 }

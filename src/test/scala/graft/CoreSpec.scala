@@ -202,6 +202,33 @@ class MvtEncoderSpec extends AnyFunSuite {
     val tile = encodeTile(Seq("pois" -> Seq(f)))
     assert((tile(0) & 0xff) === ((3 << 3) | 2)) // layers field, len-delim
   }
+
+  test("encodePointTile is byte-identical to the generic path (randomized)") {
+    // the fast path must reproduce the generic encoder EXACTLY — ids
+    // 1..n, kind tag always, name tag only when nonempty, shared
+    // key/value tables in first-appearance order
+    val kinds = Array("labeled", "geouri", "pair", "gazetteer", "point")
+    val names = Array("", "paris", "berlin", "", "rio", "paris", "labeled")
+    val rng = new java.util.Random(7)
+    for (trial <- 0 until 50) {
+      val n = trial match {
+        case 0 => 0 // empty tile: no features, no key/value tables
+        case 1 => 1
+        case _ => 1 + rng.nextInt(40)
+      }
+      val xs = Array.fill(n)(rng.nextInt(4096))
+      val ys = Array.fill(n)(rng.nextInt(4096))
+      val ks = Array.fill(n)(kinds(rng.nextInt(kinds.length)))
+      val ns = Array.fill(n)(names(rng.nextInt(names.length)))
+      val generic = encodeTile(Seq("features" -> (0 until n).map { i =>
+        Feature(i.toLong + 1, GeomPoint, Array(Array((xs(i), ys(i)))),
+          Seq("kind" -> SVal(ks(i))) ++
+            (if (ns(i).nonEmpty) Seq("name" -> SVal(ns(i))) else Nil))
+      }))
+      val fast = encodePointTile("features", xs, ys, ks, ns)
+      assert(fast.toSeq === generic.toSeq, s"trial $trial n=$n")
+    }
+  }
 }
 
 class TextExtractSpec extends AnyFunSuite {
