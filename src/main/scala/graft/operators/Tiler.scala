@@ -178,8 +178,13 @@ object Tiler {
           WebMercator.tileIdX(tid) >> dz, WebMercator.tileIdY(tid) >> dz)
         feats.iterator.map(f => (pid, f))
       }
-      encodeBuffered(rolled.groupByKey(_._1).mapValues(_._2).agg(topk),
-        layerName)
+      // fused agg (same object-boundary reasoning as encodeTiles): the
+      // rollup's (pid, Feat) rows ARE the TopKTileEncode input shape
+      val enc = new TopKTileEncode(cap, layerName).toColumn
+      rolled.groupByKey(_._1).agg(enc)
+        .toDF("__tid", "tile")
+        .select("tile.*")
+        .as[TileRow]
     }
     coarser.foldLeft(encodeBuffered(base, layerName))(_ unionByName _)
   }
