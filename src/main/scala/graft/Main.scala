@@ -267,6 +267,23 @@ object Main {
       spark.stop()
       return
     }
+    // layout maintenance mode: range-cluster the table by tile_id so the
+    // per-file lineage ranges become a pruning index (readTileRange)
+    if (args.contains("--cluster")) {
+      val outDir = args.filterNot(_.startsWith("--")).headOption
+        .getOrElse("/tmp/graft-tiles")
+      val spark = session()
+      graft.plans.Lineage.clusterSnapshots(spark, outDir) match {
+        case Some(s) =>
+          val expired = graft.plans.Lineage.expireSnapshots(outDir)
+          println(s"clustered into snapshot ${s.id} rows=${s.rows} " +
+            s"bytes=${s.bytes} (tile_id range-ordered files); " +
+            s"expired snapshots ${expired.mkString(",")}")
+        case None => println("nothing to cluster (no committed snapshots)")
+      }
+      spark.stop()
+      return
+    }
     // table maintenance mode: rewrite active snapshots into one and
     // physically expire the replaced ones — no pipeline run. Delta
     // roots (tiles committed with feature buffers, i.e. streamed) get

@@ -122,6 +122,61 @@ object Lineage {
     Some(commit(merged, root, note, replaces = active))
   }
 
+  /** Range-cluster the table: rewrite active snapshots ordered by
+    * tile_id (range repartition + in-partition sort), so every data file
+    * covers a TIGHT, non-overlapping tile_id range and the per-file
+    * (tile_id_min, tile_id_max) lineage metrics become a file-pruning
+    * index — the Iceberg manifest-pruning analog, served by
+    * [[readTileRange]]. The commit recomputes metrics from the written
+    * files, so the index is tight by construction; parquet row groups
+    * are tile_id-sorted too (min/max page stats line up with the scan
+    * filter). Atomic `replaces` flip as in [[compactSnapshots]]. Works
+    * on one snapshot as well (a pure re-layout).
+    */
+  def clusterSnapshots(spark: SparkSession, root: String,
+                       note: String = "range clustering",
+                       files: Option[Int] = None): Option[Snapshot] = {
+    val active = activeSnapshots(root)
+    if (active.isEmpty) return None
+    val base = activeTable(spark, root)
+    // explicit file count pins the layout (AQE won't coalesce a
+    // user-specified partition number); default lets AQE size files
+    val ranged = files match {
+      case Some(n) => base.repartitionByRange(n, col("tile_id"))
+      case None => base.repartitionByRange(col("tile_id"))
+    }
+    Some(commit(ranged.sortWithinPartitions("tile_id"), root, note,
+      replaces = active))
+  }
+
+  /** Read only the rows with tile_id in [lo, hi], opening only the data
+    * FILES whose committed lineage range intersects the query range —
+    * manifest-level pruning from the metrics table (thousands of
+    * file-level rows at 100 TB), not a full-table scan that hopes for
+    * parquet row-group skipping. Best after [[clusterSnapshots]] (tight
+    * disjoint ranges); correct on any root (unclustered files simply
+    * prune less). Snapshots whose metrics were lost fall back to a full
+    * read of that snapshot — pruning must never silently DROP files.
+    * The collected file list is the MATCHED subset only; for full-table
+    * reads use [[activeTable]].
+    */
+  def readTileRange(spark: SparkSession, root: String,
+                    lo: Long, hi: Long): DataFrame = {
+    import spark.implicits._
+    val active = activeSnapshots(root)
+    val (withM, withoutM) = active.partition(id =>
+      Files.isDirectory(Paths.get(root, "metrics", s"snap-$id")))
+    val pruned: Seq[String] =
+      if (withM.isEmpty) Seq.empty
+      else spark.read.parquet(withM.map(s => s"$root/metrics/snap-$s"): _*)
+        .filter(col("tile_id_max") >= lo && col("tile_id_min") <= hi)
+        .select("file").as[String].collect().toSeq
+    val paths = pruned ++ withoutM.map(id => s"$root/data/snap-$id")
+    if (paths.isEmpty) return spark.emptyDataFrame
+    spark.read.parquet(paths: _*)
+      .filter(col("tile_id").between(lo, hi))
+  }
+
   /** Manifest note of a committed snapshot (None when unreadable). */
   def manifestNote(root: String, id: Long): Option[String] = {
     val p = manifestDir(root).resolve(s"snap-$id.json")
