@@ -243,6 +243,30 @@ object Tiler {
       .as[TileRowF]
   }
 
+  /** Combine two tile sets into MULTI-LAYER tiles on (zoom, x, y) — e.g.
+    * the point `features` layer plus the `admin` polygon layer in one
+    * serving tile. An MVT tile message is just a sequence of repeated
+    * `layer` (field 3) submessages, so the merge is EXACT byte
+    * concatenation of the two tiles' bytes (protobuf repeated-field
+    * semantics) — no decode, no re-encode, one equi join on the tile
+    * key. Tiles present on only one side pass through unchanged; use
+    * distinct layer names per side. n_features sums.
+    */
+  def mergeTileLayers(a: Dataset[TileRow], b: Dataset[TileRow]): Dataset[TileRow] = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val l = a.toDF("zoom", "x", "y", "n_a", "bytes_a")
+    val r = b.toDF("zoom", "x", "y", "n_b", "bytes_b")
+    val empty = lit(Array.empty[Byte])
+    l.join(r, Seq("zoom", "x", "y"), "full_outer")
+      .select(col("zoom"), col("x"), col("y"),
+        (coalesce(col("n_a"), lit(0)) + coalesce(col("n_b"), lit(0)))
+          .as("n_features"),
+        concat(coalesce(col("bytes_a"), empty),
+          coalesce(col("bytes_b"), empty)).as("mvt_bytes"))
+      .as[TileRow]
+  }
+
   /** Tile DataFrame with sizes + packed tile_id — input to lineage metrics. */
   def tilesWithStats(tiles: Dataset[TileRow]): DataFrame =
     withStats(tiles.toDF())

@@ -282,4 +282,28 @@ class PyramidTilerSpec extends AnyFunSuite {
     // the ×|zooms| explode over the raw input would show a 3-element array
     assert(!plan.contains("explode([4,8,12]"), plan.take(1200))
   }
+
+  test("mergeTileLayers: byte-concat yields a valid two-layer tile; lone tiles pass through") {
+    import SharedSpark.spark
+    val zooms = Seq(2, 4)
+    val points = graft.operators.Tiler.buildTiles(skewedFeatures(600), zooms)
+    val polys = graft.operators.PolyTiler.buildPolygonTiles(spark, zooms)
+    val merged = graft.operators.Tiler.mergeTileLayers(points, polys).collect()
+    val pKeys = points.collect().map(t => (t.zoom, t.x, t.y)).toSet
+    val aKeys = polys.collect().map(t => (t.zoom, t.x, t.y)).toSet
+    assert(merged.map(t => (t.zoom, t.x, t.y)).toSet === (pKeys ++ aKeys))
+    val both = merged.filter(t => pKeys((t.zoom, t.x, t.y)) && aKeys((t.zoom, t.x, t.y)))
+    assert(both.nonEmpty, "no overlapping tile between the two layers — weak test")
+    both.foreach { t =>
+      val layers = MvtReader.readTile(t.mvt_bytes)
+      assert(layers.map(_.name) === Seq("features", "admin"),
+        s"tile ${(t.zoom, t.x, t.y)} layers ${layers.map(_.name)}")
+      assert(layers.map(_.features.size).sum === t.n_features)
+    }
+    // a point-only tile keeps exactly its original layer
+    merged.filter(t => pKeys((t.zoom, t.x, t.y)) && !aKeys((t.zoom, t.x, t.y)))
+      .take(3).foreach { t =>
+        assert(MvtReader.readTile(t.mvt_bytes).map(_.name) === Seq("features"))
+      }
+  }
 }
