@@ -782,6 +782,25 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.functions.url.host(col("url")).as("host"))
     }),
+    // ---- soft dedup (frequency DOWNWEIGHTING, not dropping): every doc
+    //      keeps weight 1/n_copies so each distinct content carries unit
+    //      training mass — text-keyed here so the oracle replays the
+    //      grouping bit-for-bit (production key: the 64-bit content fp,
+    //      same operator) ----
+    "q89_soft_dedup" -> ((s, dir) => {
+      graft.operators.Dedup.softDedupWeights(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          col("text"), "doc_id")
+        .select(col("doc_id"), col("n_copies"), col("weight"))
+    }),
+    // ---- token-window chunking (context-window prep): whitespace
+    //      tokens in overlapping windows of 32 at stride 24 — pure
+    //      per-row column math, zero shuffle ----
+    "q90_token_chunks" -> ((s, dir) => {
+      graft.operators.Packing.chunkTokens(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", "doc_id", k = 32, stride = 24)
+    }),
     // ---- corpus report card (the dataset datasheet a release ships):
     //      per language — doc/word volume, length percentiles, quality
     //      keep rate. One gopher projection + one hash agg; every
@@ -1714,6 +1733,36 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY host ORDER BY u, doc_id) AS rn
          |  FROM hosts)
          |WHERE rn <= 20""".stripMargin,
+    "q89_soft_dedup" ->
+      // frequency downweighting replayed on the raw text grouping key
+      """WITH c AS MATERIALIZED (
+        |  SELECT text, count(*) AS n_copies FROM documents GROUP BY text)
+        |SELECT d.doc_id, c.n_copies,
+        |  round(CAST(1.0 AS DOUBLE) / c.n_copies, 6) AS weight
+        |FROM documents d JOIN c USING (text)""".stripMargin,
+    "q90_token_chunks" ->
+      // overlapping 32-token windows at stride 24; slice bounds replayed
+      // 1-based-inclusive on both engines; chunk count
+      // 1 + max(0, ceil((n-32)/24)) via the same float-floor formula
+      """WITH t AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |s AS MATERIALIZED (
+        |  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |c AS MATERIALIZED (
+        |  SELECT doc_id, toks,
+        |    1 + greatest(0, CAST(floor(CAST(n - 32 + 24 - 1 AS DOUBLE) / 24)
+        |                         AS BIGINT)) AS n_chunks
+        |  FROM s),
+        |e AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+        |  FROM c)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(len(toks[(chunk_id*24+1):(chunk_id*24+32)]) AS BIGINT) AS n_tokens,
+        |  array_to_string(toks[(chunk_id*24+1):(chunk_id*24+32)], ' ') AS text_chunk
+        |FROM e""".stripMargin,
     "q82_corpus_report" ->
       // per-language datasheet re-derived: q58's gopher keep formula at
       // minWords=30, continuous percentiles, word totals

@@ -26,6 +26,27 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** Soft deduplication — frequency-based DOWNWEIGHTING instead of
+    * dropping: every document keeps a training weight 1/n_copies so each
+    * distinct content contributes unit mass to the loss (the weighted
+    * alternative to hard dedup used when duplicates carry signal, e.g.
+    * popularity). `key` is the duplicate-group key: pass the 64-bit
+    * content fingerprint at scale (8-byte shuffle key — `text.
+    * fingerprint64`); q89 passes the text column itself so the DuckDB
+    * oracle replays the grouping bit-for-bit. One count aggregation +
+    * one key-equi join back (broadcast when the distinct side is small);
+    * weights rounded to 6 dp for cross-engine replay.
+    */
+  def softDedupWeights(docs: DataFrame, key: org.apache.spark.sql.Column,
+                       idCol: String): DataFrame = {
+    val counts = docs.groupBy(key.as("__sk"))
+      .agg(count(lit(1)).as("n_copies"))
+    docs.withColumn("__sk", key)
+      .join(counts, Seq("__sk"))
+      .withColumn("weight", round(lit(1.0) / col("n_copies"), 6))
+      .drop("__sk")
+  }
+
   /** Incremental crawl dedup: admit only new documents whose text is (a)
     * absent from the existing corpus — anti join on the 64-bit content
     * fingerprint against the corpus fingerprint set, the thing a crawl

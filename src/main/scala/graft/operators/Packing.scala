@@ -59,4 +59,34 @@ object Packing {
       .select(col(idCol), col(tokCol),
         (col("__prefix") / capacity).cast("long").as("bin"))
   }
+
+  /** Fixed-size token-window chunking with overlap — context-window
+    * preparation: whitespace tokens grouped into windows of `k` tokens
+    * at stride `stride` (consecutive windows share k−stride tokens; the
+    * last window may be short; a document with ≤ k tokens yields one
+    * window). Chunk count = 1 + max(0, ⌈(n−k)/stride⌉), so every token
+    * is covered. Pure per-row column math — tokenize, per-doc window
+    * fan-out, slice — ZERO shuffle; output size ≈ k/stride × corpus.
+    * Returns (idCol, chunk_id, n_tokens, text_chunk).
+    */
+  def chunkTokens(docs: DataFrame, textCol: String, idCol: String,
+                  k: Int, stride: Int): DataFrame = {
+    require(k > 0 && stride > 0 && stride <= k,
+      s"need 0 < stride <= k, got k=$k stride=$stride")
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    docs
+      .withColumn("__toks", toks)
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .filter(col("__n") > 0)
+      .withColumn("__nc",
+        lit(1L) + greatest(lit(0L),
+          floor((col("__n") - lit(k) + lit(stride) - 1).cast("double")
+            / lit(stride)).cast("long")))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("__nc") - 1)))
+      .withColumn("__chunk",
+        slice(col("__toks"), (col("chunk_id") * stride + 1).cast("int"), lit(k)))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__chunk")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("__chunk")).as("text_chunk"))
+  }
 }

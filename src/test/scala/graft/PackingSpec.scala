@@ -51,4 +51,45 @@ class PackingSpec extends AnyFunSuite {
     val m = packed(Seq(1L -> 0L, 2L -> 0L, 3L -> 50L), 10L, 3)
     assert(m === Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
   }
+
+  test("chunkTokens: coverage, overlap, short tail, sub-window doc, empty doc") {
+    import spark.implicits._
+    val words = (1 to 25).map(i => s"w$i")
+    val docs = Seq(
+      (1L, words.mkString(" ")),       // 25 tokens, k=10 s=6 → 1+ceil(15/6)=4 chunks
+      (2L, "a b c"),                   // sub-window → 1 chunk
+      (3L, "   ")                       // whitespace-only → dropped
+    ).toDF("doc_id", "text")
+    val out = Packing.chunkTokens(docs, "text", "doc_id", k = 10, stride = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._2).toSeq === Seq(0L, 1L, 2L, 3L))
+    // windows start every `stride` tokens; last is short
+    assert(d1(0)._4.startsWith("w1 ") && d1(0)._3 === 10L)
+    assert(d1(1)._4.startsWith("w7 ") && d1(1)._3 === 10L)
+    assert(d1(2)._4.startsWith("w13 ") && d1(2)._3 === 10L)
+    assert(d1(3)._4 === (19 to 25).map(i => s"w$i").mkString(" ") && d1(3)._3 === 7L)
+    // overlap: consecutive windows share k - stride = 4 tokens
+    assert(d1(0)._4.split(" ").takeRight(4).toSeq === d1(1)._4.split(" ").take(4).toSeq)
+    // every token covered exactly when reassembling strided prefixes
+    val reassembled = (d1.init.map(_._4.split(" ").take(6)).flatten ++
+      d1.last._4.split(" ")).toSeq
+    assert(reassembled === words)
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0L, 3L, "a b c")))
+    assert(!out.exists(_._1 == 3L))
+  }
+
+  test("softDedupWeights: unit mass per distinct content") {
+    import spark.implicits._
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.softDedupWeights(docs, col("text"), "doc_id")
+      .select("doc_id", "n_copies", "weight")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) === ((3L, 0.333333)) && out(2L) === ((3L, 0.333333)))
+    assert(out(4L) === ((1L, 1.0)))
+    // total mass = number of distinct contents (up to rounding)
+    val mass = out.values.map(_._2).sum
+    assert(math.abs(mass - 2.0) < 1e-4, s"mass $mass")
+  }
 }
