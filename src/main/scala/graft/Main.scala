@@ -267,6 +267,33 @@ object Main {
       spark.stop()
       return
     }
+    // version-diff mode: the cache-invalidation list between two
+    // committed snapshots — added/removed/changed tile_ids
+    if (args.contains("--diff")) {
+      val pos = args.filterNot(_.startsWith("--"))
+      require(pos.length >= 3, "usage: --diff <outDir> <fromSnap> <toSnap>")
+      val spark = session()
+      val diff = graft.plans.Lineage
+        .diffVersions(spark, pos(0), pos(1).toLong, pos(2).toLong)
+        .groupBy("status").count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted
+      println(s"tile diff snap-${pos(1)} → snap-${pos(2)}: " +
+        (if (diff.isEmpty) "identical" else diff.mkString(" ")))
+      spark.stop()
+      return
+    }
+    // storage maintenance: sweep crash-orphaned uncommitted snapshot dirs
+    if (args.contains("--vacuum")) {
+      val pos = args.filterNot(_.startsWith("--"))
+      val outDir = pos.headOption.getOrElse("/tmp/graft-tiles")
+      val hours = pos.lift(1).map(_.toDouble).getOrElse(24.0)
+      val removed = graft.plans.Lineage.vacuumOrphans(outDir,
+        (hours * 3600 * 1000).toLong)
+      println(if (removed.isEmpty) "no orphans older than the age guard"
+        else s"vacuumed ${removed.length} orphaned dirs:\n  " +
+          removed.mkString("\n  "))
+      return
+    }
     // layout maintenance mode: range-cluster the table by tile_id so the
     // per-file lineage ranges become a pruning index (readTileRange)
     if (args.contains("--cluster")) {

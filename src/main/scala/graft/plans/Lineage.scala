@@ -215,6 +215,70 @@ object Lineage {
     else spark.read.parquet(snaps.map(s => s"$root/data/snap-$s"): _*)
   }
 
+  /** Tile-level diff between two table VERSIONS (time-travel points) —
+    * the cache/CDN invalidation list an incremental tile server needs:
+    * which tile_ids were added, removed, or changed between snapshot
+    * `fromSnap` and snapshot `toSnap`. One full-outer join of 64-bit
+    * content hashes keyed by tile_id — tile bytes never leave the
+    * executors. Per-version multi-row tiles (delta roots) combine with
+    * an order-insensitive bit_xor, so the comparison is well-defined on
+    * any root. Returns (tile_id, status ∈ added|removed|changed); equal
+    * tiles are omitted.
+    */
+  def diffVersions(spark: SparkSession, root: String,
+                   fromSnap: Long, toSnap: Long): DataFrame = {
+    def hashed(asOf: Long): DataFrame = {
+      val t = tableAt(spark, root, asOf)
+      if (t.columns.isEmpty)
+        spark.range(0).select(col("id").as("tile_id"), col("id").as("h"))
+      else t.select(col("tile_id"), xxhash64(col("mvt_bytes")).as("h"))
+        .groupBy("tile_id").agg(expr("bit_xor(h)").as("h"))
+    }
+    val a = hashed(fromSnap).withColumnRenamed("h", "__ha")
+    val b = hashed(toSnap).withColumnRenamed("h", "__hb")
+    a.join(b, Seq("tile_id"), "full_outer")
+      .withColumn("status",
+        when(col("__ha").isNull, "added")
+          .when(col("__hb").isNull, "removed")
+          .when(col("__ha") =!= col("__hb"), "changed"))
+      .filter(col("status").isNotNull)
+      .select("tile_id", "status")
+  }
+
+  /** Delete data/metrics snapshot directories that were WRITTEN but
+    * never COMMITTED — a crash between the parquet write and the
+    * manifest's atomic rename leaves them orphaned: invisible to every
+    * reader, but occupying storage forever. Age-guarded like Iceberg's
+    * remove_orphan_files: only directories last modified more than
+    * `olderThanMs` ago are swept, so an IN-FLIGHT commit's fresh dir is
+    * never touched. Idempotent; returns the paths removed.
+    */
+  def vacuumOrphans(root: String,
+                    olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    val committed = committedSnapshots(root).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (kind <- Seq("data", "metrics")) {
+      val dir = Paths.get(root, kind)
+      if (Files.isDirectory(dir)) {
+        val it = Files.list(dir).iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val name = p.getFileName.toString
+          if (name.startsWith("snap-")) {
+            val id = name.stripPrefix("snap-").toLongOption
+            val orphan = id.exists(!committed(_))
+            if (orphan && Files.getLastModifiedTime(p).toMillis < cutoff) {
+              deleteRecursively(p)
+              removed += p.toString
+            }
+          }
+        }
+      }
+    }
+    removed.toSeq
+  }
+
   /** Physically delete replaced snapshots' data, metrics and manifests.
     * Safe and idempotent any time after a compaction commit. Returns the
     * ids removed.
