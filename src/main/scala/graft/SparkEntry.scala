@@ -801,6 +801,44 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("text")),
         "text", "doc_id", k = 32, stride = 24)
     }),
+    // ---- token-balanced export sharding (the shard manifest a training
+    //      run reads): 8 contiguous runs of near-equal token mass via
+    //      the distributed prefix sum — integer arithmetic end-to-end,
+    //      replayed exactly by a SQL window ----
+    "q91_token_shards" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        graft.operators.TextAnalysis.tokenCount(col("text"))
+          .cast("long").as("n_tok"))
+      graft.operators.Packing.shardByTokens(docs, "doc_id", "n_tok",
+        numShards = 8)
+    }),
+    // ---- intra-document unit dedup (CCNet's within-doc step; word-
+    //      granularity here because the synth corpus is single-line —
+    //      same code path as line/paragraph granularity): first
+    //      occurrence kept, order preserved, zero shuffle ----
+    "q92_intradoc_dedup" -> ((s, dir) => {
+      graft.operators.Dedup.dedupUnitsWithin(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "text", sep = " ")
+        .select(col("doc_id"), col("n_units"), col("n_kept"),
+          col("dedup_text"))
+    }),
+    // ---- global Moran's I over zoom-6 tile counts (the one-number
+    //      "does density cluster → pre-salt the tiler" diagnostic,
+    //      complementing q62's local G*): neighbor pairs via the same
+    //      offset-explode equi join; every distributed aggregate an
+    //      exact integer sum, the statistic one fixed-order double
+    //      expression ----
+    "q93_morans_i" -> ((s, dir) => {
+      val pts = derivedPoints(s, dir)
+      val tiles = pts.select(
+          floor((col("lon") + 180.0) / 360.0 * 64.0).cast("long").as("x6"),
+          floor((lit(1.0) - log(tan(lit(math.Pi / 4.0)
+            + radians(col("lat")) / 2.0)) / math.Pi) / 2.0 * 64.0)
+            .cast("long").as("y6"))
+        .groupBy("x6", "y6").agg(count(lit(1)).as("n"))
+      graft.operators.CellSmooth.gridMoransI(tiles, "x6", "y6", "n")
+    }),
     // ---- corpus report card (the dataset datasheet a release ships):
     //      per language — doc/word volume, length percentiles, quality
     //      keep rate. One gopher projection + one hash agg; every
@@ -1763,6 +1801,89 @@ object SparkEntry {
         |  CAST(len(toks[(chunk_id*24+1):(chunk_id*24+32)]) AS BIGINT) AS n_tokens,
         |  array_to_string(toks[(chunk_id*24+1):(chunk_id*24+32)], ' ') AS text_chunk
         |FROM e""".stripMargin,
+    "q91_token_shards" ->
+      // shard = floor(exclusive_prefix * 8 / total) clamped to 7 —
+      // integer division on both engines, token count as in q61
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+        |  FROM documents),
+        |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total FROM d),
+        |p AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS prefix
+        |  FROM d)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(least(7, (prefix * 8) // total) AS BIGINT) AS shard
+        |FROM p CROSS JOIN tot""".stripMargin,
+    "q92_intradoc_dedup" ->
+      // first-occurrence-kept unit dedup: position = min ordinal per
+      // (doc, unit), reassembled in position order
+      """WITH t AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |u AS MATERIALIZED (
+        |  SELECT doc_id, unnest(toks) AS unit,
+        |    unnest(range(len(toks))) AS pos
+        |  FROM t),
+        |f AS MATERIALIZED (
+        |  SELECT doc_id, unit, min(pos) AS pos FROM u GROUP BY doc_id, unit),
+        |g AS MATERIALIZED (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(unit, ' ' ORDER BY pos) AS dedup_text
+        |  FROM f GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_units,
+        |  CAST(coalesce(g.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(g.dedup_text, '') AS dedup_text
+        |FROM t LEFT JOIN g USING (doc_id)""".stripMargin,
+    "q93_morans_i" ->
+      // queen-contiguity Moran's I from exact integer aggregates
+      // (P, Q, W, S, SS, N) and one fixed-order double expression
+      s"""WITH pts AS ($derivedPointsSql),
+        |cells AS MATERIALIZED (
+        |  SELECT CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT) AS x6,
+        |    CAST(floor((1.0 - ln(tan(pi() / 4.0 + radians(lat) / 2.0)) / pi()) / 2.0 * 64.0) AS BIGINT) AS y6,
+        |    count(*) AS n
+        |  FROM pts GROUP BY 1, 2),
+        |offs AS (
+        |  SELECT dx.d AS dx, dy.d AS dy
+        |  FROM (SELECT unnest(range(-1, 2)) AS d) dx,
+        |       (SELECT unnest(range(-1, 2)) AS d) dy
+        |  WHERE NOT (dx.d = 0 AND dy.d = 0)),
+        |contrib AS (
+        |  SELECT c.x6 + o.dx AS x, c.y6 + o.dy AS y, c.n AS vs
+        |  FROM cells c, offs o),
+        |pairs AS (
+        |  SELECT count(*) AS w_pairs,
+        |    CAST(coalesce(sum(ct.vs * c.n), 0) AS BIGINT) AS p,
+        |    CAST(coalesce(sum(ct.vs + c.n), 0) AS BIGINT) AS q
+        |  FROM contrib ct JOIN cells c ON ct.x = c.x6 AND ct.y = c.y6),
+        |stats AS (
+        |  SELECT count(*) AS n_cells,
+        |    CAST(coalesce(sum(n), 0) AS BIGINT) AS s,
+        |    CAST(coalesce(sum(n * n), 0) AS BIGINT) AS ss
+        |  FROM cells)
+        |SELECT CAST(n_cells AS BIGINT) AS n_cells,
+        |  CAST(w_pairs AS BIGINT) AS w_pairs,
+        |  round(CASE WHEN n_cells > 0
+        |    THEN CAST(s AS DOUBLE) / CAST(n_cells AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS mean_val,
+        |  round(CASE WHEN w_pairs > 0 AND
+        |      CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n_cells AS DOUBLE)) > 0
+        |    THEN CAST(n_cells AS DOUBLE) / CAST(w_pairs AS DOUBLE)
+        |      * (CAST(p AS DOUBLE)
+        |         - (CAST(s AS DOUBLE) / CAST(n_cells AS DOUBLE)) * CAST(q AS DOUBLE)
+        |         + CAST(w_pairs AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n_cells AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n_cells AS DOUBLE)))
+        |      / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n_cells AS DOUBLE)))
+        |    ELSE 0.0 END, 6) AS moran_i,
+        |  round(CASE WHEN n_cells > 1
+        |    THEN -1.0 / (CAST(n_cells AS DOUBLE) - 1.0)
+        |    ELSE 0.0 END, 6) AS e_i
+        |FROM stats CROSS JOIN pairs""".stripMargin,
     "q82_corpus_report" ->
       // per-language datasheet re-derived: q58's gopher keep formula at
       // minWords=30, continuous percentiles, word totals

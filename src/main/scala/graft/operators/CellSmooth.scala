@@ -90,4 +90,62 @@ object CellSmooth {
       .withColumn("ring_sum", round(col("ring_sum"), 6))
       .drop("__mu", "__sd", "__N")
   }
+
+  /** Global Moran's I — the one-number spatial-autocorrelation summary
+    * that tells a pipeline whether its cell values cluster (I → +1, hot
+    * tiles have hot neighbors → expect skew, pre-salt), repel (I → −1,
+    * checkerboard) or scatter at random (I ≈ E[I] = −1/(N−1)). Queen
+    * contiguity over the PRESENT cells of a sparse integer-valued grid:
+    * w_ij = 1 for the 8 surrounding cells, so
+    *   I = (N/W) · Σ_ij (x_i−x̄)(x_j−x̄) / Σ_i (x_i−x̄)².
+    *
+    * Scale + portability shape: the pair sums expand algebraically to
+    * P = Σ x_i·x_j, Q = Σ (x_i+x_j), W = #pairs over the neighbor join
+    * (offset-explode → ONE equi join, the gridHotspot shape), and the
+    * base sums S, SS, N — ALL exact integer aggregates, so they are
+    * order-insensitive under any partitioning (the q88 discipline: no
+    * float accumulation order in the distributed part). The statistic is
+    * then one fixed-order double expression over six exact longs:
+    *   num = P − x̄·Q + W·x̄², den = SS − S·x̄, I = (N/W)·num/den.
+    * Values are cast to long (counts); pair products must fit in a long
+    * — cell counts ≤ ~3e9 with any realistic fan-in do.
+    *
+    * Returns one row: (n_cells, w_pairs, mean_val, moran_i, e_i), the
+    * doubles rounded to 6 dp.
+    */
+  def gridMoransI(cells: DataFrame, xCol: String, yCol: String,
+                  valCol: String): DataFrame = {
+    val base = cells.select(col(xCol).cast("long").as("__x"),
+      col(yCol).cast("long").as("__y"), col(valCol).cast("long").as("__v"))
+    val offsets = for { dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0 }
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))
+    val contrib = base
+      .withColumn("__o", explode(array(offsets: _*)))
+      .select((col("__x") + col("__o.dx")).as("__x"),
+        (col("__y") + col("__o.dy")).as("__y"), col("__v").as("__vs"))
+    val pairs = contrib.join(base, Seq("__x", "__y"))
+      .agg(count(lit(1)).as("w_pairs"),
+        coalesce(sum(col("__vs") * col("__v")), lit(0L)).as("__p"),
+        coalesce(sum(col("__vs") + col("__v")), lit(0L)).as("__q"))
+    val stats = base.agg(count(lit(1)).as("n_cells"),
+      coalesce(sum("__v"), lit(0L)).as("__s"),
+      coalesce(sum(col("__v") * col("__v")), lit(0L)).as("__ss"))
+    val n = col("n_cells").cast("double")
+    val w = col("w_pairs").cast("double")
+    val mu = col("__s").cast("double") / n
+    val num = col("__p").cast("double") - mu * col("__q").cast("double") +
+      w * mu * mu
+    val den = col("__ss").cast("double") - col("__s").cast("double") * mu
+    stats.crossJoin(broadcast(pairs))
+      .withColumn("mean_val",
+        round(when(col("n_cells") > 0, mu).otherwise(lit(0.0)), 6))
+      .withColumn("moran_i",
+        round(when(col("w_pairs") > 0 && den > 0, n / w * num / den)
+          .otherwise(lit(0.0)), 6))
+      .withColumn("e_i",
+        round(when(col("n_cells") > 1,
+          lit(-1.0) / (n - lit(1.0))).otherwise(lit(0.0)), 6))
+      .select(col("n_cells"), col("w_pairs"), col("mean_val"),
+        col("moran_i"), col("e_i"))
+  }
 }

@@ -47,6 +47,33 @@ object Dedup {
       .drop("__sk")
   }
 
+  /** Intra-document unit dedup — CCNet's WITHIN-document step, the
+    * complement of the cross-document paragraph dedup: split the text on
+    * a separator, keep each unit's FIRST occurrence (array_distinct is
+    * order-preserving), reassemble. Boilerplate that repeats inside one
+    * page (nav lines, cookie banners, template sentences) disappears
+    * without touching other documents, so no shuffle is needed at all —
+    * the whole operator is one codegen'd per-row array expression, the
+    * cheapest dedup in the toolbox and the one to run FIRST at 100 TB
+    * (it shrinks what every later stage hashes). Unit granularity is the
+    * caller's: "\n" for lines, "\n\n" for paragraphs, " " for tokens.
+    * Returns the input plus (n_units, n_kept, dedup_text).
+    */
+  def dedupUnitsWithin(docs: DataFrame, textCol: String,
+                       sep: String): DataFrame = {
+    require(sep.nonEmpty)
+    val units = filter(
+      split(col(textCol), java.util.regex.Pattern.quote(sep)),
+      u => length(u) > 0)
+    docs
+      .withColumn("__u", units)
+      .withColumn("__d", array_distinct(col("__u")))
+      .withColumn("n_units", size(col("__u")).cast("long"))
+      .withColumn("n_kept", size(col("__d")).cast("long"))
+      .withColumn("dedup_text", concat_ws(sep, col("__d")))
+      .drop("__u", "__d")
+  }
+
   /** Incremental crawl dedup: admit only new documents whose text is (a)
     * absent from the existing corpus — anti join on the 64-bit content
     * fingerprint against the corpus fingerprint set, the thing a crawl

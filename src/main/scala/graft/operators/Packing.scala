@@ -28,20 +28,64 @@ object Packing {
   def contiguousPack(docs: DataFrame, idCol: String, tokCol: String,
                      capacity: Long, buckets: Int = 64): DataFrame = {
     require(capacity > 0 && buckets > 0)
-    val spark = docs.sparkSession
-    // 1. range-bucket on the order key: pmod of a monotone transform keeps
-    //    bucket ↔ contiguous-id-range alignment, so per-bucket order is a
-    //    contiguous slice of the global order
+    withExclusivePrefix(docs, idCol, tokCol, buckets) match {
+      case None =>
+        docs.select(col(idCol), col(tokCol)).withColumn("bin", lit(0L))
+      case Some((prefixed, _)) =>
+        prefixed.select(col(idCol), col(tokCol),
+          (col("__prefix") / capacity).cast("long").as("bin"))
+    }
+  }
+
+  /** Token-balanced output sharding — the shard-manifest step of a
+    * training-data export: documents in deterministic `idCol` order are
+    * cut into `numShards` contiguous runs of near-equal TOKEN mass (a
+    * shard's mass deviates from total/numShards by at most one
+    * document), so a trainer reading one shard per worker gets balanced
+    * work. shard(d) = ⌊prefix(d)·S / total⌋ clamped to S−1 — pure
+    * integer arithmetic over the same distributed prefix sum as
+    * [[contiguousPack]]: no global window, no key-sized driver state.
+    * prefix·numShards must fit in a long (at 100 TB ≈ 2.5e13 tokens and
+    * 10k shards that is 2.5e17 — comfortably inside 2^63).
+    * Returns (idCol, tokCol, shard).
+    */
+  def shardByTokens(docs: DataFrame, idCol: String, tokCol: String,
+                    numShards: Int, buckets: Int = 64): DataFrame = {
+    require(numShards > 0 && buckets > 0)
+    withExclusivePrefix(docs, idCol, tokCol, buckets) match {
+      case Some((prefixed, total)) if total > 0L =>
+        prefixed
+          .withColumn("shard", least(lit(numShards - 1L),
+            expr(s"__prefix * ${numShards}L div ${total}L")))
+          .select(col(idCol), col(tokCol), col("shard"))
+      case Some((prefixed, _)) =>
+        prefixed.select(col(idCol), col(tokCol)).withColumn("shard", lit(0L))
+      case None =>
+        docs.select(col(idCol), col(tokCol)).withColumn("shard", lit(0L))
+    }
+  }
+
+  /** Shared distributed exclusive-prefix-sum core: (idCol, tokCol,
+    * __prefix) in `idCol` order plus the grand token total; None when
+    * the input is empty.
+    *   1. range-bucket on the order key — bucket ↔ contiguous id range,
+    *      so per-bucket order is a contiguous slice of the global order,
+    *   2. per-bucket totals → driver prefix scan (bounded: `buckets`
+    *      values — the only serial work),
+    *   3. per-bucket window (parallel across buckets) + broadcast
+    *      offset map.
+    */
+  private def withExclusivePrefix(docs: DataFrame, idCol: String,
+                                  tokCol: String,
+                                  buckets: Int): Option[(DataFrame, Long)] = {
     val span = docs.agg(min(col(idCol)).cast("long"),
       max(col(idCol)).cast("long")).head()
-    if (span.isNullAt(0))
-      return docs.select(col(idCol), col(tokCol)).withColumn("bin", lit(0L))
+    if (span.isNullAt(0)) return None
     val (lo, hi) = (span.getLong(0), span.getLong(1))
     val width = math.max(1L, (hi - lo) / buckets + 1L)
     val bucket = floor((col(idCol).cast("long") - lo) / width).cast("long")
     val bucketed = docs.select(col(idCol), col(tokCol))
       .withColumn("__b", bucket)
-    // 2. per-bucket totals → driver prefix sum (bounded: `buckets` rows)
     val totals = bucketed.groupBy("__b")
       .agg(sum(col(tokCol).cast("long")).as("__t"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -49,15 +93,12 @@ object Packing {
       .scanLeft(0L) { case (acc, b) => acc + totals.getOrElse(b, 0L) }
     val offsetMap = typedLit(offsets.zipWithIndex
       .map { case (o, i) => i.toLong -> o }.toMap)
-    // 3. per-bucket exclusive prefix + broadcast offset → bin
     val w = Window.partitionBy("__b").orderBy(col(idCol).cast("long").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    bucketed
-      .withColumn("__prefix",
-        coalesce(sum(col(tokCol).cast("long")).over(w), lit(0L)) +
-          offsetMap(col("__b")))
-      .select(col(idCol), col(tokCol),
-        (col("__prefix") / capacity).cast("long").as("bin"))
+    val prefixed = bucketed.withColumn("__prefix",
+      coalesce(sum(col(tokCol).cast("long")).over(w), lit(0L)) +
+        offsetMap(col("__b")))
+    Some((prefixed, totals.valuesIterator.sum))
   }
 
   /** Fixed-size token-window chunking with overlap — context-window

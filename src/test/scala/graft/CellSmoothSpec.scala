@@ -58,4 +58,43 @@ class CellSmoothSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
   }
+
+  test("Moran's I: brute-force parity; checkerboard repels, cluster attracts") {
+    import spark.implicits._
+    def moran(cells: Seq[(Long, Long, Long)]) = {
+      val r = CellSmooth.gridMoransI(cells.toDF("x", "y", "v"), "x", "y", "v")
+        .head()
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))
+    }
+    // serial queen-contiguity reference
+    def ref(cells: Seq[(Long, Long, Long)]): Double = {
+      val n = cells.size
+      val mu = cells.map(_._3).sum.toDouble / n
+      val terms = for {
+        a <- cells; b <- cells
+        if (a._1 != b._1 || a._2 != b._2) &&
+          math.abs(a._1 - b._1) <= 1 && math.abs(a._2 - b._2) <= 1
+      } yield (a._3 - mu) * (b._3 - mu)
+      val den = cells.map(c => (c._3 - mu) * (c._3 - mu)).sum
+      n.toDouble / terms.size * terms.sum / den
+    }
+    val checker = for { x <- 0L until 4L; y <- 0L until 4L }
+      yield (x, y, ((x + y) % 2) * 10L)
+    val (_, wC, _, iC, eC) = moran(checker)
+    assert(wC === 84L) // 4x4 queen grid: 4·3 + 8·5 + 4·8 ordered pairs
+    // under QUEEN contiguity the diagonals of a checkerboard agree, so
+    // repulsion is mild (rook pairs repel, diagonal pairs attract)
+    assert(iC < -0.1 && math.abs(iC - ref(checker)) < 1e-4, s"I=$iC")
+    assert(math.abs(eC - (-1.0 / 15)) < 1e-6)
+    val cluster = for { x <- 0L until 4L; y <- 0L until 4L }
+      yield (x, y, if (x < 2) 10L else 1L)
+    val (_, _, _, iH, _) = moran(cluster)
+    assert(iH > 0.2 && math.abs(iH - ref(cluster)) < 1e-4, s"I=$iH")
+    // uniform values: den = 0 → 0 by convention; single cell: no pairs
+    val uni = for { x <- 0L until 3L; y <- 0L until 3L } yield (x, y, 5L)
+    assert(moran(uni)._4 === 0.0)
+    val (n1, w1, m1, i1, e1) = moran(Seq((0L, 0L, 7L)))
+    assert(n1 === 1L && w1 === 0L && m1 === 7.0 && i1 === 0.0 && e1 === 0.0)
+  }
 }

@@ -196,6 +196,32 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(out(3L)._3 === 0L && out(3L)._4 === 0L)
   }
+
+  test("intra-doc unit dedup keeps first occurrences in order, zero shuffle") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "a b a c b a"),   // repeats interleaved
+      (2L, "x"),             // single unit
+      (3L, ""),              // empty doc
+      (4L, "  a   a  ")      // separator runs collapse to empty units
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dedupUnitsWithin(in, "text", " ")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) === ((6L, 3L, "a b c")))
+    assert(out(2L) === ((1L, 1L, "x")))
+    assert(out(3L) === ((0L, 0L, "")))
+    assert(out(4L) === ((2L, 1L, "a")))
+    // line granularity: the CCNet within-doc boilerplate case
+    val lines = graft.operators.Dedup.dedupUnitsWithin(
+      Seq((9L, "nav\nbody\nnav\nfooter")).toDF("doc_id", "text"),
+      "text", "\n").head()
+    assert(lines.getString(4) === "nav\nbody\nfooter")
+    // per-row array expression only: no Exchange anywhere in the plan
+    val plan = graft.operators.Dedup.dedupUnitsWithin(in, "text", " ")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {

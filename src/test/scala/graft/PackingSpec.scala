@@ -92,4 +92,42 @@ class PackingSpec extends AnyFunSuite {
     val mass = out.values.map(_._2).sum
     assert(math.abs(mass - 2.0) < 1e-4, s"mass $mass")
   }
+
+  test("shardByTokens: serial parity, contiguity, balance, bucket invariance") {
+    import spark.implicits._
+    val rows = (0L until 400L).map(i => (i * 7 + 3, (i * 2654435761L) % 97 + 1))
+    val df = rows.toDF("id", "tok")
+    def run(b: Int) = Packing.shardByTokens(df, "id", "tok", 8, b)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    // serial reference: shard = min(7, exclusive_prefix * 8 / total)
+    val total = rows.map(_._2).sum
+    var acc = 0L
+    val want = rows.sortBy(_._1).map { case (id, t) =>
+      val s = math.min(7L, acc * 8 / total); acc += t; (id, t, s)
+    }
+    val got = run(1)
+    assert(got === want)
+    for (b <- Seq(4, 64, 200)) assert(run(b) === want, s"buckets=$b")
+    // shards are contiguous runs in id order
+    val order = got.map(_._3)
+    assert(order === order.sorted)
+    assert(order.distinct === (0L until 8L).toSeq) // all shards populated
+    // token balance: every shard within one max-doc of the ideal mass
+    val maxTok = rows.map(_._2).max
+    val ideal = total.toDouble / 8
+    got.groupBy(_._3).foreach { case (s, g) =>
+      val m = g.map(_._2).sum
+      assert(math.abs(m - ideal) <= maxTok, s"shard $s mass $m vs $ideal")
+    }
+  }
+
+  test("shardByTokens: degenerate inputs (empty, all-zero tokens)") {
+    import spark.implicits._
+    assert(Packing.shardByTokens(Seq.empty[(Long, Long)].toDF("id", "tok"),
+      "id", "tok", 4).count() === 0)
+    val z = Packing.shardByTokens(Seq(1L -> 0L, 2L -> 0L).toDF("id", "tok"),
+      "id", "tok", 4).collect().map(_.getLong(2)).toSet
+    assert(z === Set(0L))
+  }
 }
