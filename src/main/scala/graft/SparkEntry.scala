@@ -829,6 +829,18 @@ object SparkEntry {
     //      offset-explode equi join; every distributed aggregate an
     //      exact integer sum, the statistic one fixed-order double
     //      expression ----
+    // ---- distance-band (DWithin) self-join: all point pairs within 8
+    //      planar degrees via cell-ring candidates — the join a naive
+    //      dist<=r predicate would plan as a nested-loop cartesian;
+    //      each unordered pair reported once ----
+    "q94_dwithin" -> ((s, dir) => {
+      val pts = derivedPoints(s, dir)
+      val qs = pts.select(col("doc_id").as("q_id"),
+        col("lon").as("q_lon"), col("lat").as("q_lat"))
+      val ps = pts.select(col("doc_id").as("p_id"), col("lon"), col("lat"))
+      graft.operators.KnnJoin.withinRadius(qs, ps, radiusDeg = 8.0, res = 1)
+        .filter(col("q_id") < col("p_id"))
+    }),
     "q93_morans_i" -> ((s, dir) => {
       val pts = derivedPoints(s, dir)
       val tiles = pts.select(
@@ -1840,6 +1852,17 @@ object SparkEntry {
         |  CAST(coalesce(g.n_kept, 0) AS BIGINT) AS n_kept,
         |  coalesce(g.dedup_text, '') AS dedup_text
         |FROM t LEFT JOIN g USING (doc_id)""".stripMargin,
+    "q94_dwithin" ->
+      // brute-force replay of the distance band: identical d2 formula
+      // (query side first), filter BEFORE the 9-dp rounding
+      s"""WITH pts AS ($derivedPointsSql)
+        |SELECT a.doc_id AS q_id, b.doc_id AS p_id,
+        |  round((a.lon - b.lon) * (a.lon - b.lon)
+        |    + (a.lat - b.lat) * (a.lat - b.lat), 9) AS dist2
+        |FROM pts a CROSS JOIN pts b
+        |WHERE a.doc_id < b.doc_id
+        |  AND (a.lon - b.lon) * (a.lon - b.lon)
+        |    + (a.lat - b.lat) * (a.lat - b.lat) <= 8.0 * 8.0""".stripMargin,
     "q93_morans_i" ->
       // queen-contiguity Moran's I from exact integer aggregates
       // (P, Q, W, S, SS, N) and one fixed-order double expression

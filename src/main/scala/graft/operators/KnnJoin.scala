@@ -98,4 +98,33 @@ object KnnJoin {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("p_id"), round(col("dist2"), 9).as("dist2"), col("rank"))
   }
+
+  /** Distance-band (DWithin) join — every (query, point) pair within
+    * `radiusDeg` planar degrees (the metric of [[knn]] and its oracle):
+    * the "all pairs within r" spatial predicate that a naive
+    * `dist(q,p) <= r` join plans as a BroadcastNestedLoopJoin. One
+    * kRing explode on the query side (rings = ⌈r/inradius⌉+1 — the
+    * phase-2 coverage geometry) → ONE cell equi join → exact distance
+    * filter. A pair meets exactly once, in the point's own cell, so no
+    * distinct pass is needed. Fan-out is O(rings²) cells per query:
+    * pick `res` so the cell inradius is near `radiusDeg` and rings
+    * stays ~2. Hot cells fall under AQE skew handling like any hash
+    * join. Returns (q_id, p_id, dist2).
+    */
+  def withinRadius(queries: DataFrame, points: DataFrame,
+                   radiusDeg: Double, res: Int = 4): DataFrame = {
+    require(radiusDeg > 0.0)
+    val inradius = HexGrid.radius(res) * math.sqrt(3.0) / 2.0
+    val rings = math.ceil(radiusDeg / inradius).toInt + 1
+    val pts = points
+      .withColumn("__pcell", geo.hex_cell(col("lon"), col("lat"), lit(res)))
+    queries
+      .withColumn("__qcell", geo.hex_cell(col("q_lon"), col("q_lat"), lit(res)))
+      .withColumn("__cell", explode(hex_kring(col("__qcell"), lit(rings))))
+      .join(pts, col("__cell") === col("__pcell"))
+      .withColumn("dist2",
+        d2(col("q_lon"), col("q_lat"), col("lon"), col("lat")))
+      .filter(col("dist2") <= lit(radiusDeg) * lit(radiusDeg))
+      .select(col("q_id"), col("p_id"), round(col("dist2"), 9).as("dist2"))
+  }
 }

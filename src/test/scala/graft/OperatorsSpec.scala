@@ -42,6 +42,32 @@ class KnnJoinSpec extends AnyFunSuite {
       .collect()
     assert(got.length === 3)
   }
+
+  test("withinRadius matches brute force exactly; no nested-loop join") {
+    import spark.implicits._
+    val pts = (0 until 800).map { i =>
+      (i.toLong, Rng.uniform(53L, i.toLong, 1L) * 360.0 - 180.0,
+        Rng.uniform(53L, i.toLong, 2L) * 170.0 - 85.0)
+    }
+    val qs = (0 until 40).map { i =>
+      (i.toLong, Rng.uniform(54L, i.toLong, 1L) * 360.0 - 180.0,
+        Rng.uniform(54L, i.toLong, 2L) * 170.0 - 85.0)
+    }
+    val r = 6.0
+    val out = graft.operators.KnnJoin.withinRadius(
+      qs.toDF("q_id", "q_lon", "q_lat"), pts.toDF("p_id", "lon", "lat"), r)
+    val got = out.select("q_id", "p_id").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (qid, qlon, qlat) <- qs
+      (pid, lon, lat) <- pts
+      if (qlon - lon) * (qlon - lon) + (qlat - lat) * (qlat - lat) <= r * r
+    } yield (qid, pid)).toSet
+    assert(got === want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    // candidate generation is a cell equi join, never a cartesian
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
 }
 
 class DedupSpec extends AnyFunSuite {
