@@ -263,7 +263,9 @@ object Bench {
       "q79_curate", "q80_cluster_balance", "q81_nfc_normalize",
       "q82_corpus_report", "q83_blocklist", "q84_host_budget",
       "q85_latest_revision", "q86_word_filter", "q87_media_nn",
-      "q88_pagerank", "q89_soft_dedup", "q90_token_chunks")
+      "q88_pagerank", "q89_soft_dedup", "q90_token_chunks",
+      "q91_token_shards", "q92_intradoc_dedup", "q93_morans_i",
+      "q94_dwithin")
     val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") == "1"
     // per-query shuffle-write MB + cpu_sec: the plan-quality and
     // steal-attribution evidence. Both are captured from the WINNING
