@@ -829,6 +829,18 @@ object SparkEntry {
     //      offset-explode equi join; every distributed aggregate an
     //      exact integer sum, the statistic one fixed-order double
     //      expression ----
+    // ---- site-level boilerplate removal (RefinedWeb's repeated-line
+    //      drop, scoped per source): units in ≥20 distinct docs of a
+    //      source are template chrome, removed everywhere with order
+    //      preserved; word granularity on the single-line synth corpus ----
+    "q95_host_boilerplate" -> ((s, dir) => {
+      graft.operators.Dedup.removeHostBoilerplate(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("source"), col("text")),
+          "text", "doc_id", "source", sep = " ", minDocs = 20)
+        .select(col("doc_id"), col("n_units"), col("n_kept"),
+          col("clean_text"))
+    }),
     // ---- distance-band (DWithin) self-join: all point pairs within 8
     //      planar degrees via cell-ring candidates — the join a naive
     //      dist<=r predicate would plan as a nested-loop cartesian;
@@ -1851,6 +1863,34 @@ object SparkEntry {
         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_units,
         |  CAST(coalesce(g.n_kept, 0) AS BIGINT) AS n_kept,
         |  coalesce(g.dedup_text, '') AS dedup_text
+        |FROM t LEFT JOIN g USING (doc_id)""".stripMargin,
+    "q95_host_boilerplate" ->
+      // boilerplate = (source, unit) in >=20 distinct docs; rebuild each
+      // doc from its surviving positions in order
+      """WITH t AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |u AS MATERIALIZED (
+        |  SELECT doc_id, source, unnest(toks) AS unit,
+        |    unnest(range(len(toks))) AS pos
+        |  FROM t),
+        |b AS MATERIALIZED (
+        |  SELECT source, unit FROM (
+        |    SELECT source, unit, count(DISTINCT doc_id) AS nd
+        |    FROM u GROUP BY 1, 2)
+        |  WHERE nd >= 20),
+        |k AS MATERIALIZED (
+        |  SELECT u.doc_id, u.unit, u.pos
+        |  FROM u LEFT JOIN b ON u.source = b.source AND u.unit = b.unit
+        |  WHERE b.unit IS NULL),
+        |g AS MATERIALIZED (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(unit, ' ' ORDER BY pos) AS clean_text
+        |  FROM k GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_units,
+        |  CAST(coalesce(g.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(g.clean_text, '') AS clean_text
         |FROM t LEFT JOIN g USING (doc_id)""".stripMargin,
     "q94_dwithin" ->
       // brute-force replay of the distance band: identical d2 formula

@@ -74,6 +74,50 @@ object Dedup {
       .drop("__u", "__d")
   }
 
+  /** Site-level boilerplate removal — the RefinedWeb/CCNet "drop lines
+    * repeated across a source's pages" step: a unit (line / paragraph /
+    * word) occurring in ≥ `minDocs` DISTINCT documents of the same
+    * `keyCol` (host/site) is template chrome — nav bars, footers,
+    * cookie banners — and is removed from every document of that key,
+    * preserving unit order and non-boilerplate repetition. The
+    * complement of [[dedupUnitsWithin]] (within one doc) and the
+    * cross-doc paragraph dedup (global): this one is scoped per SITE.
+    *
+    * Scale shape: per-doc-DISTINCT units explode to (key, unit) pairs —
+    * never full texts — through ONE hash count agg; the boilerplate SET
+    * per key is template-sized (bounded by a site's chrome, not its page
+    * count), rides a key equi join back, and the rewrite is a per-row
+    * codegen'd array filter. Returns the input plus
+    * (n_units, n_kept, clean_text).
+    */
+  def removeHostBoilerplate(docs: DataFrame, textCol: String, idCol: String,
+                            keyCol: String, sep: String,
+                            minDocs: Int): DataFrame = {
+    require(minDocs >= 2 && sep.nonEmpty)
+    val units = filter(
+      split(col(textCol), java.util.regex.Pattern.quote(sep)),
+      u => length(u) > 0)
+    val withU = docs.withColumn("__u", units)
+    val boiler = withU
+      .select(col(keyCol).as("__k"),
+        explode(array_distinct(col("__u"))).as("__unit"))
+      .groupBy("__k", "__unit")
+      .agg(count(lit(1)).as("__nd")) // one row per (doc,unit): exact distinct
+      .filter(col("__nd") >= minDocs)
+      .groupBy("__k")
+      .agg(collect_set(col("__unit")).as("__boiler"))
+    withU
+      .join(boiler, col(keyCol) === col("__k"), "left")
+      .withColumn("__keep",
+        when(col("__boiler").isNull, col("__u"))
+          .otherwise(filter(col("__u"),
+            u => !array_contains(col("__boiler"), u))))
+      .withColumn("n_units", size(col("__u")).cast("long"))
+      .withColumn("n_kept", size(col("__keep")).cast("long"))
+      .withColumn("clean_text", concat_ws(sep, col("__keep")))
+      .drop("__u", "__k", "__boiler", "__keep")
+  }
+
   /** Incremental crawl dedup: admit only new documents whose text is (a)
     * absent from the existing corpus — anti join on the 64-bit content
     * fingerprint against the corpus fingerprint set, the thing a crawl

@@ -248,6 +248,27 @@ class DedupSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("host boilerplate: per-site scoping, order kept, non-boiler repeats kept") {
+    import spark.implicits._
+    val in = Seq(
+      // host A: "nav" in all 3 docs (boilerplate at minDocs=3);
+      // "promo" in only 2 (kept); within-doc repeats don't inflate counts
+      (1L, "A", "nav promo body1 nav"),
+      (2L, "A", "nav body2 promo"),
+      (3L, "A", "body3 nav nav"),
+      // host B: "nav" appears in just 1 doc — NOT boilerplate here
+      (4L, "B", "nav own own")
+    ).toDF("doc_id", "host", "text")
+    val out = graft.operators.Dedup.removeHostBoilerplate(
+        in, "text", "doc_id", "host", " ", minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    assert(out(1L) === ((4L, 2L, "promo body1")))
+    assert(out(2L) === ((3L, 2L, "body2 promo")))
+    assert(out(3L) === ((3L, 1L, "body3")))
+    assert(out(4L) === ((3L, 3L, "nav own own"))) // repeats preserved
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
