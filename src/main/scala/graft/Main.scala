@@ -236,6 +236,24 @@ object Main {
     // curation mode: the training-data pass (normalize → exact dedup →
     // paragraph dedup → span analysis → Gopher gate) snapshot-committed
     // with the same resume/QA discipline as the tile pipeline
+    // training-data export mode: committed curated root → token-balanced
+    // shard directories + manifest.json (one shard per trainer worker)
+    if (args.contains("--export")) {
+      val pos = args.filterNot(_.startsWith("--"))
+      require(pos.length >= 2,
+        "usage: --export <curatedRoot> <exportDir> [shards]")
+      val shards = if (pos.length > 2) pos(2).toInt else 16
+      val spark = session()
+      val stats = graft.operators.Curate.exportShards(
+        spark, pos(0), pos(1), shards)
+      val docs = stats.map(_.docs).sum
+      val toks = stats.map(_.tokens).sum
+      println(s"exported $docs docs / $toks tokens into ${stats.length} " +
+        s"shards (tokens min=${stats.map(_.tokens).min} " +
+        s"max=${stats.map(_.tokens).max}) at ${pos(1)}")
+      spark.stop()
+      return
+    }
     if (args.contains("--curate")) {
       val cfg = parseArgs(args.filterNot(a => a == "--curate" || a == "--neardup"))
       val spark = session()

@@ -122,4 +122,47 @@ object Curate {
       if (resume) graft.plans.Lineage.pendingOnly(curated, root) else curated
     graft.plans.Lineage.commit(pending, root, note)
   }
+
+  /** Per-shard export stats: (shard, docs, tokens). */
+  final case class ShardStat(shard: Long, docs: Long, tokens: Long)
+
+  /** Training-data export — the last mile of the curation story: the
+    * committed curated table cut into `numShards` token-balanced shard
+    * directories (`exportDir/data/shard=K/`) via
+    * [[Packing.shardByTokens]] over the content fingerprint (uniform
+    * 64-bit keys → perfectly balanced range buckets for the prefix
+    * sum), plus a `manifest.json` recording each shard's document count
+    * and token mass — what a trainer reads to hand one shard per
+    * worker. Deterministic: same table → same assignment → same files.
+    * Returns the stats sorted by shard.
+    */
+  def exportShards(spark: org.apache.spark.sql.SparkSession,
+                   curatedRoot: String, exportDir: String,
+                   numShards: Int): Seq[ShardStat] = {
+    val t = graft.plans.Lineage.activeTable(spark, curatedRoot)
+    val withTok = t.withColumn("n_tok",
+      TextAnalysis.tokenCount(col("text_curated")).cast("long"))
+    val assigned = Packing.shardByTokens(
+      withTok.select(col("tile_id"), col("n_tok")),
+      "tile_id", "n_tok", numShards)
+    withTok.join(assigned.select("tile_id", "shard"), Seq("tile_id"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$exportDir/data")
+    // manifest from what was WRITTEN (read-back, not the plan)
+    val stats = spark.read.parquet(s"$exportDir/data")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("docs"), sum("n_tok").as("toks"))
+      .collect()
+      .map(r => ShardStat(r.getAs[Number]("shard").longValue(),
+        r.getLong(1), r.getLong(2)))
+      .sortBy(_.shard).toSeq
+    val json = stats.map(s =>
+        s"""{"shard":${s.shard},"docs":${s.docs},"tokens":${s.tokens}}""")
+      .mkString("[", ",", "]")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(exportDir))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(exportDir, "manifest.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    stats
+  }
 }

@@ -82,8 +82,15 @@ object Packing {
       max(col(idCol)).cast("long")).head()
     if (span.isNullAt(0)) return None
     val (lo, hi) = (span.getLong(0), span.getLong(1))
-    val width = math.max(1L, (hi - lo) / buckets + 1L)
-    val bucket = floor((col(idCol).cast("long") - lo) / width).cast("long")
+    // full-range order keys (e.g. 64-bit content fingerprints) make
+    // hi − lo exceed a long, and ANSI mode turns the wrap into a
+    // runtime error — the span math runs in BigInt/decimal instead
+    // (one projection, off the hot path)
+    val width = (BigInt(hi) - BigInt(lo)) / buckets + 1
+    val bucket = floor(
+      (col(idCol).cast("decimal(38,0)")
+        - lit(new java.math.BigDecimal(lo)))
+        / lit(new java.math.BigDecimal(width.bigInteger))).cast("long")
     val bucketed = docs.select(col(idCol), col(tokCol))
       .withColumn("__b", bucket)
     val totals = bucketed.groupBy("__b")

@@ -65,3 +65,33 @@ class E2eSpec extends AnyFunSuite {
     assert(vsT2.forall(_.ok), QaReport.summary(vsT2))
   }
 }
+
+/** `Main --export`: the committed curated table cut into token-balanced
+  * shard directories with a manifest — q91's operator as the product's
+  * last-mile surface.
+  */
+class ExportSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("export shards balance token mass, conserve docs, rerun identically") {
+    val out = java.nio.file.Files.createTempDirectory("graft-export").toString
+    val root = s"$out/curated"
+    val pages = graft.sources.SynthPages.pagesDF(spark, 500)
+    val snap = graft.operators.Curate.run(pages, root, resume = false)
+    val stats = graft.operators.Curate.exportShards(spark, root, s"$out/exp", 4)
+    assert(stats.map(_.shard) === Seq(0L, 1L, 2L, 3L))
+    assert(stats.map(_.docs).sum === snap.rows)
+    // token balance: every shard within one max-document of ideal
+    val toks = stats.map(_.tokens)
+    val maxDoc = spark.read.parquet(s"$out/exp/data")
+      .agg(org.apache.spark.sql.functions.max("n_tok")).head().getLong(0)
+    val ideal = toks.sum.toDouble / 4
+    toks.foreach(t => assert(math.abs(t - ideal) <= maxDoc, s"$t vs $ideal"))
+    val mf = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "exp", "manifest.json")))
+    assert(mf.startsWith("""[{"shard":0,"""), mf.take(60))
+    // deterministic content-fp assignment: a rerun exports identically
+    val stats2 = graft.operators.Curate.exportShards(spark, root, s"$out/exp2", 4)
+    assert(stats2 === stats)
+  }
+}

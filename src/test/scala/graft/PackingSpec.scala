@@ -122,6 +122,17 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("full-range fingerprint keys: span math never overflows") {
+    import spark.implicits._
+    val rows = Seq(Long.MinValue + 5 -> 10L, -1L -> 20L, 3L -> 30L,
+      Long.MaxValue - 7 -> 40L)
+    val out = Packing.shardByTokens(rows.toDF("id", "tok"), "id", "tok", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // serial: prefixes 0,10,30,60 of total 100 → shards 0,0,0,1
+    assert(out === Map((Long.MinValue + 5) -> 0L, -1L -> 0L, 3L -> 0L,
+      (Long.MaxValue - 7) -> 1L))
+  }
+
   test("shardByTokens: degenerate inputs (empty, all-zero tokens)") {
     import spark.implicits._
     assert(Packing.shardByTokens(Seq.empty[(Long, Long)].toDF("id", "tok"),
