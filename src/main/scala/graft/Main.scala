@@ -255,13 +255,16 @@ object Main {
       return
     }
     if (args.contains("--curate")) {
-      val cfg = parseArgs(args.filterNot(a => a == "--curate" || a == "--neardup"))
+      val cfg = parseArgs(args.filterNot(a =>
+        a == "--curate" || a == "--neardup" || a == "--site-boiler"))
       val spark = session()
       val t0 = System.nanoTime()
       val snap = graft.operators.Curate.run(
         pageTable(spark, cfg), cfg.outDir, cfg.resume,
         note = s"curate pages=${cfg.nPages} resume=${cfg.resume}",
-        nearDupJaccard = if (args.contains("--neardup")) Some(0.7) else None)
+        nearDupJaccard = if (args.contains("--neardup")) Some(0.7) else None,
+        siteBoilerMinDocs =
+          if (args.contains("--site-boiler")) Some(20) else None)
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"committed snapshot ${snap.id} rows=${snap.rows} " +
         f"bytes=${snap.bytes} in $secs%.1f s (${snap.rows / secs}%.1f docs/sec)")

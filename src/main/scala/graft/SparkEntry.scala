@@ -30,11 +30,74 @@ object SparkEntry {
         floor(col("doc_id") * lit(7.000070000007) / 170.0) * 170.0 - 85.0)
   }
 
+  // the multiplier literals MUST be cast to DOUBLE: DuckDB parses a bare
+  // 17.000170000017 as DECIMAL(14,12) and runs the whole derivation in
+  // exact decimal arithmetic, which differs from Spark's binary-double
+  // math in the last ULPs — enough to flip a per-pair floor/round in the
+  // surface oracles (q96) even though 9-dp-rounded consumers never see it
   private val derivedPointsSql =
     """SELECT doc_id,
-      |  doc_id * 17.000170000017 - floor(doc_id * 17.000170000017 / 360.0) * 360.0 - 180.0 AS lon,
-      |  doc_id * 7.000070000007 - floor(doc_id * 7.000070000007 / 170.0) * 170.0 - 85.0 AS lat
+      |  doc_id * CAST(17.000170000017 AS DOUBLE) - floor(doc_id * CAST(17.000170000017 AS DOUBLE) / 360.0) * 360.0 - 180.0 AS lon,
+      |  doc_id * CAST(7.000070000007 AS DOUBLE) - floor(doc_id * CAST(7.000070000007 AS DOUBLE) / 170.0) * 170.0 - 85.0 AS lat
       |FROM documents""".stripMargin
+
+  /** Two disjoint data-derived right-triangle sets for the overlay join
+    * (q98): even doc_ids anchor set A at (lon, lat) with legs 2+id%5 /
+    * 2+id%7, odd doc_ids anchor set B at (lon+1, lat+1) with legs
+    * 2+id%6 / 2+id%4. Every offset is an exactly-representable double,
+    * so the SQL twin below lands on bit-identical vertices.
+    */
+  private def overlayTriangles(pts: DataFrame): (DataFrame, DataFrame) = {
+    val a = pts.filter(col("doc_id") % 2 === 0).select(
+      col("doc_id").as("a_id"),
+      col("lon").as("ax1"), col("lat").as("ay1"),
+      (col("lon") + (lit(2.0) + (col("doc_id") % 5).cast("double"))).as("ax2"),
+      col("lat").as("ay2"),
+      col("lon").as("ax3"),
+      (col("lat") + (lit(2.0) + (col("doc_id") % 7).cast("double"))).as("ay3"))
+    val b = pts.filter(col("doc_id") % 2 === 1).select(
+      col("doc_id").as("b_id"),
+      (col("lon") + lit(1.0)).as("bx1"), (col("lat") + lit(1.0)).as("by1"),
+      (col("lon") + lit(1.0) +
+        (lit(2.0) + (col("doc_id") % 6).cast("double"))).as("bx2"),
+      (col("lat") + lit(1.0)).as("by2"),
+      (col("lon") + lit(1.0)).as("bx3"),
+      (col("lat") + lit(1.0) +
+        (lit(2.0) + (col("doc_id") % 4).cast("double"))).as("by3"))
+    (a, b)
+  }
+
+  private val overlayTrianglesSqlA =
+    """SELECT doc_id AS a_id, lon AS ax1, lat AS ay1,
+      |  lon + (2.0 + (doc_id % 5)) AS ax2, lat AS ay2,
+      |  lon AS ax3, lat + (2.0 + (doc_id % 7)) AS ay3
+      |FROM pts WHERE doc_id % 2 = 0""".stripMargin
+  private val overlayTrianglesSqlB =
+    """SELECT doc_id AS b_id, lon + 1.0 AS bx1, lat + 1.0 AS by1,
+      |  lon + 1.0 + (2.0 + (doc_id % 6)) AS bx2, lat + 1.0 AS by2,
+      |  lon + 1.0 AS bx3, lat + 1.0 + (2.0 + (doc_id % 4)) AS by3
+      |FROM pts WHERE doc_id % 2 = 1""".stripMargin
+
+  /** SQL twin of [[graft.operators.Overlay.triIntersects]] — the same
+    * separating-axis structure generated over coordinate column names,
+    * so the predicate text cannot drift from the Column version.
+    */
+  private def triSatSql(a: Seq[(String, String)],
+                        b: Seq[(String, String)]): String = {
+    def orient(p: (String, String), q: (String, String),
+               r: (String, String)): String =
+      s"((${q._1} - ${p._1}) * (${r._2} - ${p._2}) - " +
+        s"(${q._2} - ${p._2}) * (${r._1} - ${p._1}))"
+    def sep(t: Seq[(String, String)], o: Seq[(String, String)]): String =
+      (0 until 3).map { i =>
+        val (p, q, r) = (t(i), t((i + 1) % 3), t((i + 2) % 3))
+        val os = orient(p, q, r)
+        val ov = o.map(v => orient(p, q, v))
+        s"(($os > 0 AND ${ov.map(_ + " < 0").mkString(" AND ")}) OR " +
+          s"($os < 0 AND ${ov.map(_ + " > 0").mkString(" AND ")}))"
+      }.mkString(" OR ")
+    s"NOT ((${sep(a, b)}) OR (${sep(b, a)}))"
+  }
 
   /** Flagship: end-to-end geoparse → cell encode → tile pipeline on a
     * small synthetic page table.
@@ -829,6 +892,34 @@ object SparkEntry {
     //      offset-explode equi join; every distributed aggregate an
     //      exact integer sum, the statistic one fixed-order double
     //      expression ----
+    // ---- kernel density surface (quartic kernel, hard cutoff) at
+    //      occupied 6°-grid cell centers: ring-cover candidates → one
+    //      equi join; per-pair kernel quantized to the 1e-12 grid and
+    //      summed as LONGs (order-insensitive — the q88 discipline) ----
+    "q96_kde_density" -> ((s, dir) => {
+      graft.operators.CellSmooth.kdeSurface(
+        derivedPoints(s, dir).select(col("lon"), col("lat")),
+        "lon", "lat", cellDeg = 6.0, radiusDeg = 6.0)
+    }),
+    // ---- inverse-distance-weighted interpolation of a per-doc value
+    //      at the same grid centers: numerator/denominator as exact
+    //      integer sums, the surface one final ratio over two longs ----
+    "q97_idw_grid" -> ((s, dir) => {
+      graft.operators.CellSmooth.idwGrid(
+        derivedPoints(s, dir)
+          .withColumn("v", (col("doc_id") % 97).cast("double")),
+        "lon", "lat", "v", cellDeg = 6.0, radiusDeg = 6.0)
+    }),
+    // ---- polygon–polygon spatial overlay (intersects join): two
+    //      data-derived triangle sets meet in a bbox-cover cell equi
+    //      join with reference-point dedup (pair tested ONCE, no
+    //      distinct), exact SAT predicate — the join a naive
+    //      intersects(a,b) would plan as a nested-loop cartesian ----
+    "q98_tri_overlay" -> ((s, dir) => {
+      val (a, b) = overlayTriangles(derivedPoints(s, dir))
+      graft.operators.Overlay.triangleIntersectsJoin(a, b, cellDeg = 8.0)
+        .select(col("a_id"), col("b_id"))
+    }),
     // ---- site-level boilerplate removal (RefinedWeb's repeated-line
     //      drop, scoped per source): units in ≥20 distinct docs of a
     //      source are template chrome, removed everywhere with order
@@ -1892,6 +1983,75 @@ object SparkEntry {
         |  CAST(coalesce(g.n_kept, 0) AS BIGINT) AS n_kept,
         |  coalesce(g.clean_text, '') AS clean_text
         |FROM t LEFT JOIN g USING (doc_id)""".stripMargin,
+    "q96_kde_density" ->
+      // brute-force replay of the hard-cutoff KDE: centers = occupied
+      // 6°-grid cells, identical dist²/kernel formula text (center side
+      // first), per-pair floor(x+0.5)→BIGINT (binary-double quantize —
+      // engine-portable, unlike round()) then exact integer sum
+      s"""WITH pts AS ($derivedPointsSql),
+        |cells AS MATERIALIZED (
+        |  SELECT CAST(floor((lon + 180.0) / 6.0) AS BIGINT) AS cx,
+        |    CAST(floor((lat + 90.0) / 6.0) AS BIGINT) AS cy
+        |  FROM pts GROUP BY 1, 2),
+        |centers AS MATERIALIZED (
+        |  SELECT cx, cy,
+        |    (CAST(cx AS DOUBLE) + 0.5) * 6.0 - 180.0 AS lonc,
+        |    (CAST(cy AS DOUBLE) + 0.5) * 6.0 - 90.0 AS latc
+        |  FROM cells)
+        |SELECT c.cx, c.cy, CAST(count(*) AS BIGINT) AS n_within,
+        |  CAST(sum(CAST(floor(
+        |    (1.0 - ((c.lonc - p.lon) * (c.lonc - p.lon)
+        |          + (c.latc - p.lat) * (c.latc - p.lat)) / 36.0)
+        |    * (1.0 - ((c.lonc - p.lon) * (c.lonc - p.lon)
+        |             + (c.latc - p.lat) * (c.latc - p.lat)) / 36.0)
+        |    * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS density_q
+        |FROM centers c JOIN pts p
+        |  ON (c.lonc - p.lon) * (c.lonc - p.lon)
+        |   + (c.latc - p.lat) * (c.latc - p.lat) <= 36.0
+        |GROUP BY 1, 2""".stripMargin,
+    "q97_idw_grid" ->
+      // IDW replay: same centers, weight = 1e9/(1+d²) floor(x+0.5)-
+      // quantized per pair, exact integer num/den sums, one final ratio
+      s"""WITH pts AS (
+        |  SELECT doc_id, CAST(doc_id % 97 AS DOUBLE) AS v, lon, lat
+        |  FROM ($derivedPointsSql)),
+        |cells AS MATERIALIZED (
+        |  SELECT CAST(floor((lon + 180.0) / 6.0) AS BIGINT) AS cx,
+        |    CAST(floor((lat + 90.0) / 6.0) AS BIGINT) AS cy
+        |  FROM pts GROUP BY 1, 2),
+        |centers AS MATERIALIZED (
+        |  SELECT cx, cy,
+        |    (CAST(cx AS DOUBLE) + 0.5) * 6.0 - 180.0 AS lonc,
+        |    (CAST(cy AS DOUBLE) + 0.5) * 6.0 - 90.0 AS latc
+        |  FROM cells),
+        |agg AS (
+        |  SELECT c.cx, c.cy, CAST(count(*) AS BIGINT) AS n_within,
+        |    CAST(sum(CAST(floor(p.v * (1000000000.0
+        |      / (1.0 + ((c.lonc - p.lon) * (c.lonc - p.lon)
+        |               + (c.latc - p.lat) * (c.latc - p.lat)))) + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS num_q,
+        |    CAST(sum(CAST(floor(1000000000.0
+        |      / (1.0 + ((c.lonc - p.lon) * (c.lonc - p.lon)
+        |               + (c.latc - p.lat) * (c.latc - p.lat))) + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS den_q
+        |  FROM centers c JOIN pts p
+        |    ON (c.lonc - p.lon) * (c.lonc - p.lon)
+        |     + (c.latc - p.lat) * (c.latc - p.lat) <= 36.0
+        |  GROUP BY 1, 2)
+        |SELECT cx, cy, n_within, num_q, den_q,
+        |  round(CAST(num_q AS DOUBLE) / CAST(den_q AS DOUBLE), 6) AS idw
+        |FROM agg""".stripMargin,
+    "q98_tri_overlay" -> {
+      val av = Seq(("ax1", "ay1"), ("ax2", "ay2"), ("ax3", "ay3"))
+      val bv = Seq(("bx1", "by1"), ("bx2", "by2"), ("bx3", "by3"))
+      // brute-force cross join + the generated SAT twin: the cover/
+      // dedup machinery is invisible to closed-intersection semantics
+      s"""WITH pts AS ($derivedPointsSql),
+        |a AS MATERIALIZED ($overlayTrianglesSqlA),
+        |b AS MATERIALIZED ($overlayTrianglesSqlB)
+        |SELECT a_id, b_id FROM a CROSS JOIN b
+        |WHERE ${triSatSql(av, bv)}""".stripMargin
+    },
     "q94_dwithin" ->
       // brute-force replay of the distance band: identical d2 formula
       // (query side first), filter BEFORE the 9-dp rounding

@@ -148,4 +148,105 @@ object CellSmooth {
       .select(col("n_cells"), col("w_pairs"), col("mean_val"),
         col("moran_i"), col("e_i"))
   }
+
+  /** (occupied-center, point) candidate pairs within `radiusDeg` of the
+    * center, over the planar integer grid with `cellDeg`-degree cells —
+    * the shared geometry of [[kdeSurface]] and [[idwGrid]]: distinct
+    * occupied cells → bounded offset-explode of the covering ring →
+    * ONE cell equi join → exact distance filter. Returns the center
+    * keys (cx, cy), every point column, and `__dist2`.
+    *
+    * Scale shape: fan-out is O(rings²) per OCCUPIED CELL (not per
+    * point), the join is a hash equi join on the 2-long cell key, and
+    * no pair outside the ring cover is ever materialized — the naive
+    * `dist ≤ r` formulation would plan as a nested-loop cartesian.
+    */
+  private def gridCandidates(points: DataFrame, lonCol: String,
+                             latCol: String, cellDeg: Double,
+                             radiusDeg: Double): DataFrame = {
+    require(cellDeg > 0.0 && radiusDeg > 0.0)
+    val pts = points
+      .withColumn("__px",
+        floor((col(lonCol) + lit(180.0)) / lit(cellDeg)).cast("long"))
+      .withColumn("__py",
+        floor((col(latCol) + lit(90.0)) / lit(cellDeg)).cast("long"))
+    val centers = pts.select(col("__px").as("cx"), col("__py").as("cy"))
+      .distinct()
+      .withColumn("__lonc",
+        (col("cx").cast("double") + lit(0.5)) * lit(cellDeg) - lit(180.0))
+      .withColumn("__latc",
+        (col("cy").cast("double") + lit(0.5)) * lit(cellDeg) - lit(90.0))
+    // a point within r of the CENTER lies in a cell at Chebyshev index
+    // distance ≤ r/cell + 1/2; +1 guards the float boundary
+    val rings = math.ceil(radiusDeg / cellDeg + 0.5).toInt + 1
+    val offsets = for { dx <- -rings to rings; dy <- -rings to rings }
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))
+    val d2 = (col("__lonc") - col(lonCol)) * (col("__lonc") - col(lonCol)) +
+      (col("__latc") - col(latCol)) * (col("__latc") - col(latCol))
+    centers
+      .withColumn("__o", explode(array(offsets: _*)))
+      .select(col("cx"), col("cy"), col("__lonc"), col("__latc"),
+        (col("cx") + col("__o.dx")).as("__px"),
+        (col("cy") + col("__o.dy")).as("__py"))
+      .join(pts, Seq("__px", "__py"))
+      .withColumn("__dist2", d2)
+      .filter(col("__dist2") <= lit(radiusDeg) * lit(radiusDeg))
+      .drop("__px", "__py")
+  }
+
+  /** Kernel density surface — density of `points` evaluated at the
+    * center of every occupied grid cell with the quartic (biweight)
+    * kernel K(d) = (1 − d²/r²)² hard-truncated at `radiusDeg` (planar
+    * degrees, the metric of the kNN/DWithin family). The per-pair
+    * kernel value is quantized to the 1/`scale` integer grid (via
+    * floor(x+0.5) — binary-double arithmetic a SQL engine reproduces
+    * exactly, unlike decimal-string rounding) and summed
+    * as a LONG, so the distributed aggregation is order-insensitive
+    * under any partitioning (the q88 discipline); the dist² and kernel
+    * expressions are single fixed-order double formulas an external SQL
+    * engine reproduces bit-for-bit.
+    *
+    * Returns (cx, cy, n_within, density_q): exact longs, density_q =
+    * Σ round(K·scale).
+    */
+  def kdeSurface(points: DataFrame, lonCol: String, latCol: String,
+                 cellDeg: Double, radiusDeg: Double,
+                 scale: Double = 1e12): DataFrame = {
+    val r2 = radiusDeg * radiusDeg
+    val k1 = lit(1.0) - col("__dist2") / lit(r2)
+    gridCandidates(points, lonCol, latCol, cellDeg, radiusDeg)
+      // floor(x+0.5), not round(): Spark rounds the shortest-decimal
+      // string (BigDecimal HALF_UP) while SQL engines round the binary
+      // double — they disagree when the two straddle .5; floor on the
+      // identical double cannot
+      .withColumn("__kq", floor(k1 * k1 * lit(scale) + lit(0.5)).cast("long"))
+      .groupBy("cx", "cy")
+      .agg(count(lit(1)).as("n_within"),
+        sum("__kq").as("density_q"))
+  }
+
+  /** Inverse-distance-weighted interpolation of `valCol` at the center
+    * of every occupied grid cell, weights w = scale/(1 + d²) truncated
+    * at `radiusDeg` — the classic IDW raster surface, distributed as
+    * two exact integer sums (numerator Σ round(v·w), denominator
+    * Σ round(w)) so accumulation order can't perturb the result; the
+    * interpolated value is one final double ratio over the two longs.
+    *
+    * Returns (cx, cy, n_within, num_q, den_q, idw) with idw =
+    * round(num_q/den_q, 6).
+    */
+  def idwGrid(points: DataFrame, lonCol: String, latCol: String,
+              valCol: String, cellDeg: Double, radiusDeg: Double,
+              scale: Double = 1e9): DataFrame = {
+    val w = lit(scale) / (lit(1.0) + col("__dist2"))
+    gridCandidates(points, lonCol, latCol, cellDeg, radiusDeg)
+      .withColumn("__wq", floor(w + lit(0.5)).cast("long"))
+      .withColumn("__nq",
+        floor(col(valCol).cast("double") * w + lit(0.5)).cast("long"))
+      .groupBy("cx", "cy")
+      .agg(count(lit(1)).as("n_within"),
+        sum("__nq").as("num_q"), sum("__wq").as("den_q"))
+      .withColumn("idw", round(
+        col("num_q").cast("double") / col("den_q").cast("double"), 6))
+  }
 }

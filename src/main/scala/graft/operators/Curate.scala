@@ -8,6 +8,7 @@ import graft.functions.text
 /** End-to-end training-data curation over a page table — the operator
   * set composed into the one pass a pipeline user actually runs:
   *
+  *   [site boilerplate strip on raw lines (RefinedWeb, opt-in)] →
   *   normalize → exact dedup (content-fp keeper) → paragraph dedup
   *   (CCNet) → duplicated-span analysis (Lee et al. hash-window
   *   approximation) → Gopher quality gate
@@ -51,8 +52,30 @@ object Curate {
              parasOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
                split(_, "\n"),
              paraSep: String = "\n",
-             nearDupJaccard: Option[Double] = None): DataFrame = {
-    val norm = pages
+             nearDupJaccard: Option[Double] = None,
+             siteBoilerMinDocs: Option[Int] = None,
+             siteBoilerSep: String = "\n"): DataFrame = {
+    // optional site-level boilerplate removal (RefinedWeb's repeated-
+    // line drop, scoped per host) FIRST, on the RAW extracted text —
+    // normalizeText collapses line structure, and lines are the unit
+    // that separates template chrome (nav bars, footers, cookie
+    // banners: repeated verbatim across a host's pages) from common
+    // vocabulary (word units would strip stopwords corpus-wide). Also
+    // the RefinedWeb order: line-level cleanup precedes document-level
+    // dedup, so a page reduced to its unique body dedups on that body.
+    // Runs per raw page (before the exact winnow): duplicate urls of a
+    // template page all count toward the distinct-doc threshold, which
+    // is what "share of the host's pages" means on a crawl.
+    val deboiled = siteBoilerMinDocs match {
+      case None => pages
+      case Some(m) =>
+        Dedup.removeHostBoilerplate(
+            pages.select(col("url"), col("text"))
+              .withColumn("__host", graft.functions.url.host(col("url"))),
+            "text", "url", "__host", sep = siteBoilerSep, minDocs = m)
+          .select(col("url"), col("clean_text").as("text"))
+    }
+    val norm = deboiled
       .select(col("url"), TextAnalysis.normalizeText(col("text")).as("text"))
       .filter(length(col("text")) > 0)
     // exact dedup: deterministic min-url keeper per content fingerprint
@@ -116,8 +139,10 @@ object Curate {
     */
   def run(pages: DataFrame, root: String, resume: Boolean,
           note: String = "curate",
-          nearDupJaccard: Option[Double] = None): graft.plans.Lineage.Snapshot = {
-    val curated = curate(pages, nearDupJaccard = nearDupJaccard)
+          nearDupJaccard: Option[Double] = None,
+          siteBoilerMinDocs: Option[Int] = None): graft.plans.Lineage.Snapshot = {
+    val curated = curate(pages, nearDupJaccard = nearDupJaccard,
+      siteBoilerMinDocs = siteBoilerMinDocs)
     val pending =
       if (resume) graft.plans.Lineage.pendingOnly(curated, root) else curated
     graft.plans.Lineage.commit(pending, root, note)

@@ -97,4 +97,80 @@ class CellSmoothSpec extends AnyFunSuite {
     val (n1, w1, m1, i1, e1) = moran(Seq((0L, 0L, 7L)))
     assert(n1 === 1L && w1 === 0L && m1 === 7.0 && i1 === 0.0 && e1 === 0.0)
   }
+
+  // shared scattered test points for the surface operators
+  private def surfacePts: Seq[(Long, Double, Double)] =
+    (0 until 200).map { i =>
+      val lon = (i * 17.000170000017) % 360.0 - 180.0
+      val lat = (i * 7.000070000007) % 170.0 - 85.0
+      (i.toLong, lon, lat)
+    }
+
+  // the operator's exact arithmetic, replayed serially (same op order)
+  private def bruteSurface(pts: Seq[(Long, Double, Double)], cell: Double,
+                           r: Double): Map[(Long, Long), Seq[(Long, Double)]] = {
+    def cx(lon: Double) = math.floor((lon + 180.0) / cell).toLong
+    def cy(lat: Double) = math.floor((lat + 90.0) / cell).toLong
+    val centers = pts.map(p => (cx(p._2), cy(p._3))).distinct
+    centers.map { case (x, y) =>
+      val lonc = (x.toDouble + 0.5) * cell - 180.0
+      val latc = (y.toDouble + 0.5) * cell - 90.0
+      val within = pts.flatMap { case (id, lon, lat) =>
+        val d2 = (lonc - lon) * (lonc - lon) + (latc - lat) * (latc - lat)
+        if (d2 <= r * r) Some((id, d2)) else None
+      }
+      (x, y) -> within
+    }.filter(_._2.nonEmpty).toMap
+  }
+
+  private def roundL(d: Double): Long = math.floor(d + 0.5).toLong
+
+  test("KDE surface: exact parity with serial brute force; equi-join plan") {
+    import spark.implicits._
+    val pts = surfacePts.toDF("id", "lon", "lat")
+    val out = CellSmooth.kdeSurface(pts, "lon", "lat",
+      cellDeg = 6.0, radiusDeg = 6.0)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val want = bruteSurface(surfacePts.map(p => (p._1, p._2, p._3)), 6.0, 6.0)
+      .map { case (k, within) =>
+        val dq = within.map { case (_, d2) =>
+          val k1 = 1.0 - d2 / 36.0
+          roundL(k1 * k1 * 1e12)
+        }.sum
+        k -> ((within.size.toLong, dq))
+      }
+    assert(got === want)
+    assert(got.nonEmpty && got.values.forall(v => v._2 >= 0L))
+    // candidate generation is an equi join on the cell key — never a
+    // nested-loop/cartesian over all (center, point) pairs
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("IDW surface: exact integer sums vs brute force; value within data range") {
+    import spark.implicits._
+    val pts = surfacePts.map(p => (p._1, p._2, p._3, (p._1 % 7).toDouble))
+      .toDF("id", "lon", "lat", "v")
+    val got = CellSmooth.idwGrid(pts, "lon", "lat", "v",
+        cellDeg = 6.0, radiusDeg = 6.0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    val want = bruteSurface(surfacePts, 6.0, 6.0).map { case (k, within) =>
+      val nq = within.map { case (id, d2) =>
+        roundL((id % 7).toDouble * (1e9 / (1.0 + d2)))
+      }.sum
+      val dq = within.map { case (_, d2) => roundL(1e9 / (1.0 + d2)) }.sum
+      val idw = BigDecimal(nq.toDouble / dq.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      k -> ((within.size.toLong, nq, dq, idw))
+    }
+    assert(got === want)
+    // interpolated values stay inside the observed value range
+    assert(got.values.forall(v => v._4 >= 0.0 && v._4 <= 6.0))
+  }
 }

@@ -60,6 +60,42 @@ class CurateSpec extends AnyFunSuite {
     assert(kept.contains("a1") && !kept.contains("a2"))
   }
 
+  test("site-boiler stage strips host-scoped template lines everywhere, other hosts untouched") {
+    import spark.implicits._
+    // 4 raw pages on host a share nav + footer chrome LINES around a
+    // unique body line; 1 page on host b carries the same chrome but is
+    // alone on its host. Body words (incl. each doc's 2 stopwords) are
+    // unique per doc. The stage runs BEFORE normalizeText flattens line
+    // structure, so line units separate chrome from vocabulary.
+    def page(body: String) = s"cookie banner accept\n$body\nfooter contact links"
+    val docs = Seq(
+      ("http://a.com/1", page("the alpha and bravo charlie delta echo foxtrot")),
+      ("http://a.com/2", page("of golf to hotel india juliet kilo lima")),
+      ("http://a.com/3", page("in mike is november oscar papa quebec romeo")),
+      ("http://a.com/4", page("on sierra for tango uniform victor whiskey xray")),
+      ("http://b.com/1", page("with yankee as zulu maple willow cedar spruce")))
+      .toDF("url", "text")
+    val base = Curate.curate(docs, minWords = 3, spanMaxFrac = 1.0)
+      .select("url", "text_curated").as[(String, String)].collect().toMap
+    // without the stage every doc keeps its chrome (normalized to one
+    // line, all docs distinct, so nothing else strips it)
+    assert(base.size === 5 && base.values.forall(_.contains("cookie banner accept")))
+    val deb = Curate.curate(docs, minWords = 3, spanMaxFrac = 1.0,
+        siteBoilerMinDocs = Some(3))
+      .select("url", "text_curated").as[(String, String)].collect().toMap
+    assert(deb.size === 5)
+    // host a: chrome gone from EVERY page (the global paragraph pass
+    // alone would have kept a first occurrence), body preserved intact
+    assert(deb("http://a.com/1") === "the alpha and bravo charlie delta echo foxtrot")
+    (2 to 4).foreach { i =>
+      assert(!deb(s"http://a.com/$i").contains("cookie"), deb(s"http://a.com/$i"))
+      assert(!deb(s"http://a.com/$i").contains("footer"), deb(s"http://a.com/$i"))
+    }
+    // host b: same lines, below the per-host threshold → untouched
+    assert(deb("http://b.com/1") ===
+      "cookie banner accept with yankee as zulu maple willow cedar spruce footer contact links")
+  }
+
   test("batch resume: committed docs are never re-curated; lineage stays QA-healthy") {
     val root = java.nio.file.Files.createTempDirectory("graft-curate").toString
     // batch 1: first crawl slice
