@@ -910,6 +910,16 @@ object SparkEntry {
           .withColumn("v", (col("doc_id") % 97).cast("double")),
         "lon", "lat", "v", cellDeg = 6.0, radiusDeg = 6.0)
     }),
+    // ---- zonal statistics: per-containing-polygon count/sum/mean of a
+    //      point field — broadcast-cover PIP join + ONE hash agg; mean
+    //      is a final ratio over exact longs ----
+    "q99_zonal_stats" -> ((s, dir) => {
+      import graft.sources.PolyRegistry
+      graft.operators.SpatialJoin.zonalStats(
+          derivedPoints(s, dir).withColumn("v", col("doc_id") % 97),
+          "v", registry = PolyRegistry.OracleTri)
+        .withColumnRenamed("admin_id", "tri_id")
+    }),
     // ---- polygon–polygon spatial overlay (intersects join): two
     //      data-derived triangle sets meet in a bbox-cover cell equi
     //      join with reference-point dedup (pair tested ONCE, no
@@ -2041,6 +2051,21 @@ object SparkEntry {
         |SELECT cx, cy, n_within, num_q, den_q,
         |  round(CAST(num_q AS DOUBLE) / CAST(den_q AS DOUBLE), 6) AS idw
         |FROM agg""".stripMargin,
+    "q99_zonal_stats" -> {
+      import graft.sources.PolyRegistry
+      val branches = PolyRegistry.oracleTriangles.map { p =>
+        s"SELECT doc_id, CAST(${p.adminId} AS BIGINT) AS tri_id FROM pts WHERE " +
+          PolyRegistry.halfPlaneSql(p, "lon", "lat")
+      }.mkString("\nUNION ALL\n")
+      // q12's half-plane containment branches + one exact-integer agg
+      s"""WITH pts AS ($derivedPointsSql),
+        |hits AS ($branches)
+        |SELECT tri_id, CAST(count(*) AS BIGINT) AS n_pts,
+        |  CAST(sum(doc_id % 97) AS BIGINT) AS sum_v,
+        |  round(CAST(sum(doc_id % 97) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS mean_v
+        |FROM hits GROUP BY 1""".stripMargin
+    },
     "q98_tri_overlay" -> {
       val av = Seq(("ax1", "ay1"), ("ax2", "ay2"), ("ax3", "ay3"))
       val bv = Seq(("bx1", "by1"), ("bx2", "by2"), ("bx3", "by3"))

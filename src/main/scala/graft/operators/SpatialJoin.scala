@@ -117,6 +117,25 @@ object SpatialJoin {
       .drop("__cell", "cover_cell")
   }
 
+  /** Zonal statistics — aggregate an integer per-point value over the
+    * polygon containing each point (count + exact sum + mean): the
+    * raster-analytics "summarize a field by admin zone" primitive. One
+    * broadcast-cover PIP join (polygons never shuffle) followed by ONE
+    * hash aggregation keyed by admin_id with map-side partial combine;
+    * the mean is a final double ratio over two exact longs, so the
+    * distributed part is order-insensitive under any partitioning.
+    * Returns (admin_id, n_pts, sum_v, mean_v).
+    */
+  def zonalStats(points: DataFrame, valCol: String,
+                 res: Int = AdminPolygons.CoverRes,
+                 registry: Int = PolyRegistry.Admin): DataFrame =
+    pipJoin(points, res, None, registry)
+      .groupBy("admin_id")
+      .agg(count(lit(1)).as("n_pts"),
+        sum(col(valCol).cast("long")).as("sum_v"))
+      .withColumn("mean_v", round(
+        col("sum_v").cast("double") / col("n_pts").cast("double"), 6))
+
   /** R-tree variant: instead of the equi-join + post-filter, each point
     * queries the STRtree of its cell's candidate polygons directly (one
     * codegen'd expression + explode; zero joins). Preferable when many

@@ -413,6 +413,38 @@ class StreamHotspotSpec extends AnyFunSuite {
 class StreamEnrichSpec extends AnyFunSuite {
   import SharedSpark._
 
+  test("zonal stats: exact parity with per-point containment brute force") {
+    import spark.implicits._
+    import graft.sources.PolyRegistry
+    val pts = (0L until 400L).map { i =>
+      val lon = (i * 17.000170000017) % 360.0 - 180.0
+      val lat = (i * 7.000070000007) % 170.0 - 85.0
+      (i, lon, lat, i % 97)
+    }
+    val got = graft.operators.SpatialJoin.zonalStats(
+        pts.toDF("doc_id", "lon", "lat", "v"), "v",
+        registry = PolyRegistry.OracleTri)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val want = pts
+      .flatMap { case (_, lon, lat, v) =>
+        PolyRegistry.polys(PolyRegistry.OracleTri)
+          .filter(p => PolyRegistry.contains(
+            PolyRegistry.OracleTri, p.adminId, lon, lat))
+          .map(p => p.adminId -> v)
+      }
+      .groupBy(_._1).map { case (k, vs) =>
+        val n = vs.size.toLong
+        val s = vs.map(_._2).sum
+        val m = BigDecimal(s.toDouble / n.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        k -> ((n, s, m))
+      }
+    assert(got === want)
+    assert(got.nonEmpty && got.values.map(_._1).sum > 0L)
+  }
+
   test("stream-static PIP enrichment equals batch (broadcast R-tree on a stream)") {
     import spark.implicits._
     // deterministic points, some inside admin polygons
