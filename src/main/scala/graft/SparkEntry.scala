@@ -910,6 +910,26 @@ object SparkEntry {
           .withColumn("v", (col("doc_id") % 97).cast("double")),
         "lon", "lat", "v", cellDeg = 6.0, radiusDeg = 6.0)
     }),
+    // ---- per-track Douglas-Peucker simplification (the polygon
+    //      tiler's simplify stage, standalone over ordered event
+    //      tracks): one track-keyed shuffle, per-group linear kernel;
+    //      smooth synthetic paths with sub-tolerance wiggle so the
+    //      simplification is observable (n_kept << n_in) ----
+    "q100_track_simplify" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("event_id")
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"))
+        .withColumn("seq", row_number().over(w).cast("double"))
+        .withColumn("ph", col("user_id").cast("double"))
+        .withColumn("lon",
+          lit(120.0) * sin(col("seq") * lit(0.15) + col("ph")) +
+            lit(2.0) * sin(col("seq") * lit(0.93)))
+        .withColumn("lat",
+          lit(60.0) * sin(col("seq") * lit(0.11) + col("ph")) +
+            lit(1.0) * sin(col("seq") * lit(0.77)))
+      graft.operators.Trajectory.simplifyTracks(ev, "user_id", "event_id",
+        "lon", "lat", tolDeg = 5.0)
+    }),
     // ---- zonal statistics: per-containing-polygon count/sum/mean of a
     //      point field — broadcast-cover PIP join + ONE hash agg; mean
     //      is a final ratio over exact longs ----

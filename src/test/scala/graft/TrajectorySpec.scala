@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.DouglasPeucker
+
+/** Douglas-Peucker kernel + per-track operator: parity with an
+  * independent recursive reference, deterministic tie behavior, and
+  * partitioning invariance of the distributed reduction.
+  */
+class TrajectorySpec extends AnyFunSuite {
+  import SharedSpark._
+
+  // independent recursive reference (inline distance math)
+  private def refKeep(xs: Array[Double], ys: Array[Double],
+                      tol: Double): Set[Int] = {
+    def d2(a: Int, b: Int, p: Int): Double = {
+      val dx = xs(b) - xs(a); val dy = ys(b) - ys(a)
+      val l2 = dx * dx + dy * dy
+      if (l2 == 0.0) {
+        val ux = xs(p) - xs(a); val uy = ys(p) - ys(a); ux * ux + uy * uy
+      } else {
+        val t0 = ((xs(p) - xs(a)) * dx + (ys(p) - ys(a)) * dy) / l2
+        val t = math.max(0.0, math.min(1.0, t0))
+        val ux = xs(p) - (xs(a) + t * dx); val uy = ys(p) - (ys(a) + t * dy)
+        ux * ux + uy * uy
+      }
+    }
+    def go(a: Int, b: Int): Set[Int] =
+      if (b - a <= 1) Set.empty
+      else {
+        var best = -1; var bd = tol * tol
+        (a + 1) until b foreach { i =>
+          val d = d2(a, b, i); if (d > bd) { bd = d; best = i }
+        }
+        if (best < 0) Set.empty else go(a, best) + best ++ go(best, b)
+      }
+    if (xs.length <= 2) xs.indices.toSet
+    else go(0, xs.length - 1) + 0 + (xs.length - 1)
+  }
+
+  test("kernel: hand case — outlier kept, collinear jitter dropped, endpoints always") {
+    val xs = Array(0.0, 1.0, 2.0, 3.0, 4.0)
+    val ys = Array(0.0, 0.01, 0.0, 5.0, 0.0)
+    val kept = DouglasPeucker.simplifyIndices(xs, ys, 1.0).toSeq
+    // the spike splits at 3; (2,0) is then 1.7° off the (0,0)-(3,5)
+    // segment so it survives too; only the 0.01° jitter at index 1 goes
+    assert(kept === Seq(0, 2, 3, 4))
+    // tolerance below the jitter keeps everything
+    assert(DouglasPeucker.simplifyIndices(xs, ys, 0.001).toSeq ===
+      Seq(0, 1, 2, 3, 4))
+    // two points pass through
+    assert(DouglasPeucker
+      .simplifyIndices(Array(1.0, 2.0), Array(3.0, 4.0), 10.0).toSeq ===
+      Seq(0, 1))
+  }
+
+  test("kernel: parity with the recursive reference on varied tracks") {
+    (0 until 30).foreach { t =>
+      val n = 3 + (t * 7) % 60
+      val xs = Array.tabulate(n)(i =>
+        120.0 * math.sin(i * 0.15 + t) + 2.0 * math.sin(i * 0.93))
+      val ys = Array.tabulate(n)(i =>
+        60.0 * math.sin(i * 0.11 + t) + 1.0 * math.sin(i * 0.77))
+      val tol = Seq(0.5, 2.0, 5.0, 20.0)(t % 4)
+      val got = DouglasPeucker.simplifyIndices(xs, ys, tol).toSet
+      assert(got === refKeep(xs, ys, tol), s"track $t tol $tol")
+      assert(got.contains(0) && got.contains(n - 1))
+    }
+  }
+
+  test("operator: per-track results, partitioning invariance, wkt shape") {
+    import spark.implicits._
+    val rows = for {
+      id <- 0L until 12L
+      k <- 0 until (40 + (id % 5).toInt)
+    } yield (id, k.toLong,
+      120.0 * math.sin((k + 1) * 0.15 + id) + 2.0 * math.sin((k + 1) * 0.93),
+      60.0 * math.sin((k + 1) * 0.11 + id) + 1.0 * math.sin((k + 1) * 0.77))
+    val df = rows.toDF("user_id", "event_id", "lon", "lat")
+    val out = graft.operators.Trajectory
+      .simplifyTracks(df, "user_id", "event_id", "lon", "lat", tolDeg = 5.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out.size === 12)
+    out.foreach { case (id, (nIn, nKept, wkt)) =>
+      assert(nIn === 40 + (id % 5) && nKept >= 2 && nKept < nIn, s"track $id")
+      assert(wkt.startsWith("LINESTRING(") && wkt.endsWith(")"))
+      assert(wkt.count(_ == ',') === nKept - 1)
+    }
+    // sub-tolerance wiggle is actually pruned (the point of the tolerance)
+    assert(out.values.map(_._2).sum < rows.size / 2)
+    // same result from any partitioning of the input
+    val shuffled = graft.operators.Trajectory
+      .simplifyTracks(df.repartition(7), "user_id", "event_id",
+        "lon", "lat", tolDeg = 5.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(shuffled === out)
+  }
+}
