@@ -413,12 +413,16 @@ object Dedup {
     // tokens → distinct n-gram shingles per doc (string form for SQL
     // parity), via ONE codegen'd expression — the interpreted HOF form
     // (transform/element_at/concat_ws) cost ~4× the rest of the operator
+    // materialized once: three consumers (the prefix index + BOTH sides
+    // of the verification join) would otherwise re-run the shingling —
+    // the single most expensive projection here — per consumer
     val base = docs.select(
       (col(idCol).as("id") +: col(textCol).as("txt") +:
         blockCol.map(c => col(c).as("blk")).toSeq): _*)
       .withColumn("grams", text.word_ngrams(col("txt"), n))
       .withColumn("n_grams", size(col("grams")))
       .drop("txt")
+      .localCheckpoint(true)
     val exploded = base.select(
       (Seq(col("id"), col("n_grams"), explode(col("grams")).as("gram")) ++
         blockCol.map(_ => col("blk")).toSeq): _*)
