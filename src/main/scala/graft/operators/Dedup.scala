@@ -303,8 +303,11 @@ object Dedup {
                    k: Int = 64, bands: Int = 16, shingle: Int = 3,
                    threshold: Double = 0.7): DataFrame = {
     // one codegen'd expression computes signature + band keys together
+    // materialized once: both sides of the band self-join would
+    // otherwise re-run the k-permutation minhash of every document
     val banded = docs.select(col(idCol).as("id"),
       explode(text.minhash_bands(col(textCol), k, bands, shingle)).as("band_key"))
+      .localCheckpoint(true)
     val a = banded.select(col("band_key"), col("id").as("id_a"))
     val b = banded.select(col("band_key"), col("id").as("id_b"))
     val cand = a.join(b, Seq("band_key"))
@@ -383,6 +386,8 @@ object Dedup {
         struct(lit(i).as("blk"),
           shiftright(col("sh"), i * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)))
       .select(col("id"), col("sh"), col("block.blk"), col("block.key"))
+      // materialized once: simhash64 re-tokenizes the document per side
+      .localCheckpoint(true)
     val a = blocks.select(col("blk"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = blocks.select(col("blk"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("blk", "key"))
@@ -475,11 +480,14 @@ object Dedup {
     val mask = (1L << blockBits) - 1
     val sigs = vecs.select(col(idCol).as("id"),
       vec.rp_signature(col(vecCol), nBits, seed).as("sig"))
+    // materialized once: both sides of the self-join would otherwise
+    // re-run the rp_signature projection (64 dot products per vector)
     val blocks = sigs.withColumn("block",
       explode(array((0 until nBlocks).map(i =>
         struct(lit(i).as("blk"),
           shiftright(col("sig"), i * blockBits).bitwiseAND(lit(mask)).as("key"))): _*)))
       .select(col("id"), col("block.blk"), col("block.key"))
+      .localCheckpoint(true)
     val a = blocks.select(col("blk"), col("key"), col("id").as("id_a"))
     val b = blocks.select(col("blk"), col("key"), col("id").as("id_b"))
     val cand = a.join(b, Seq("blk", "key"))

@@ -30,6 +30,10 @@ import org.apache.spark.sql.functions._
   *     skew, code change mid-table) shows up as a ratio far from 1, the
   *     same scatter-ratio heuristic as the reference verdict
   *     (frameguess.py:58-66: ratio + threshold → guess + reason).
+  *   - clustering (tile roots, informational): global Moran's I over the
+  *     coarsest zoom's tile feature counts — whether density is spatially
+  *     autocorrelated, the forward-looking "pre-salt hot tiles" signal
+  *     complementing the backward-looking skew verdict.
   *
   * All checks are metrics-table aggregations (file-level rows, thousands
   * per snapshot at 100 TB) plus ONE count over each snapshot's data for
@@ -179,7 +183,46 @@ object QaReport {
       }
     }
 
-    conservation ++ skew ++ overlap ++ drift
+    // spatial clustering (tile roots only): Moran's I over the finest
+    // zoom's tile feature counts — the forward-looking skew signal. The
+    // skew verdict above reports how the LAST write balanced; this one
+    // says whether density is spatially autocorrelated (hot tiles have
+    // hot neighbors), i.e. whether future shuffles over these keys need
+    // pre-salting / AQE skew handling. Informational: always "pass",
+    // the metric is the statistic itself.
+    val clustering = {
+      val withTiles = present.filter { id =>
+        val df = spark.read.parquet(s"$root/data/snap-$id")
+        Set("zoom", "x", "y", "n_features").subsetOf(df.columns.toSet)
+      }
+      if (withTiles.isEmpty) Seq.empty
+      else {
+        val df = spark.read
+          .parquet(withTiles.map(s => s"$root/data/snap-$s"): _*)
+        // the COARSEST zoom: at the finest zoom most tiles hold ~1
+        // feature (a near-constant field, I ≈ 0 even over a clustered
+        // corpus); coarse tiles aggregate the underlying density, so
+        // neighbor correlation — the thing that predicts skewed shuffle
+        // keys — is actually measurable there
+        val zmin = df.agg(min(col("zoom").cast("long"))).head().getLong(0)
+        val r = graft.operators.CellSmooth.gridMoransI(
+          df.filter(col("zoom").cast("long") === zmin)
+            .select(col("x"), col("y"), col("n_features")),
+          "x", "y", "n_features").head()
+        val i = r.getDouble(3)
+        val e = r.getDouble(4)
+        Seq(Verdict("clustering", 0L, "pass", i, e,
+          f"zoom-$zmin tile counts: Moran's I $i%.3f vs E[I] $e%.4f under " +
+            "spatial randomness — " +
+            (if (i > e + 0.1)
+              "density CLUSTERS (hot tiles have hot neighbors): expect " +
+                "shuffle skew on tile keys; pre-salt hot tiles or rely on " +
+                "AQE skew-join handling"
+            else "no significant clustering: default hash partitioning is fine")))
+      }
+    }
+
+    conservation ++ skew ++ overlap ++ drift ++ clustering
   }
 
   /** Verdicts as a DataFrame (for persisting next to the metrics table). */

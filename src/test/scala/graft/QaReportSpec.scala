@@ -18,12 +18,44 @@ class QaReportSpec extends AnyFunSuite {
     Main.run(spark, root, nPages = 300, zooms = Seq(4, 6), resume = true)
     val vs = QaReport.verdicts(spark, root)
     assert(vs.nonEmpty)
-    assert(vs.map(_.stage).toSet === Set("conservation", "skew", "overlap", "drift"))
+    assert(vs.map(_.stage).toSet ===
+      Set("conservation", "skew", "overlap", "drift", "clustering"))
     assert(vs.forall(_.ok), vs.filterNot(_.ok).mkString("\n"))
     val rep = QaReport.report(spark, root)
     assert(rep.startsWith("Lineage looks **healthy**"), rep)
     assert(QaReport.verdictsTable(spark, root).columns.toSeq ===
       Seq("stage", "snapshot_id", "status", "metric", "threshold", "reason"))
+  }
+
+  test("clustering verdict: clustered tile counts flag pre-salt, scattered do not; doc roots skip it") {
+    import spark.implicits._
+    def mkRoot(rows: Seq[(Long, Int, Long, Long, Int)], tag: String): String = {
+      val root = java.nio.file.Files.createTempDirectory(s"graft-qa-$tag").toString
+      Lineage.commit(rows.toDF("tile_id", "zoom", "x", "y", "n_features")
+        .withColumn("byte_len", org.apache.spark.sql.functions.lit(100L)),
+        root, tag)
+      root
+    }
+    // hot 4×4 block (counts 50) against a cold field (counts 1)
+    val clustered = for { x <- 0L until 10L; y <- 0L until 10L } yield
+      (x * 100 + y, 6, x, y, if (x < 4 && y < 4) 50 else 1)
+    val vc = QaReport.verdicts(spark, mkRoot(clustered, "clu"))
+      .filter(_.stage == "clustering")
+    assert(vc.size === 1 && vc.head.ok)
+    assert(vc.head.metric > 0.3 && vc.head.reason.contains("pre-salt"),
+      vc.head.reason)
+    // checkerboard-ish scatter: no positive autocorrelation
+    val scattered = for { x <- 0L until 10L; y <- 0L until 10L } yield
+      (x * 100 + y, 6, x, y, if ((x + y) % 2 == 0) 50 else 1)
+    val vsc = QaReport.verdicts(spark, mkRoot(scattered, "sca"))
+      .filter(_.stage == "clustering")
+    assert(vsc.head.metric < 0.1 &&
+      vsc.head.reason.contains("default hash partitioning"), vsc.head.reason)
+    // a document root (no zoom/x/y) emits no clustering verdict
+    val docRoot = java.nio.file.Files.createTempDirectory("graft-qa-doc").toString
+    Lineage.commit((0L until 50L).map(id => (id, 100L))
+      .toDF("tile_id", "byte_len"), docRoot, "docs")
+    assert(!QaReport.verdicts(spark, docRoot).exists(_.stage == "clustering"))
   }
 
   test("a lost data directory yields a conservation FAIL verdict, not a crash") {
