@@ -910,6 +910,15 @@ object SparkEntry {
           .withColumn("v", (col("doc_id") % 97).cast("double")),
         "lon", "lat", "v", cellDeg = 6.0, radiusDeg = 6.0)
     }),
+    // ---- exact DBSCAN density clustering: ε-pairs via cell-ring
+    //      candidates → core-point count agg → connected components
+    //      over core-core edges → min-cluster border assign; the
+    //      oracle replays the closure as a recursive CTE (the ENGINE
+    //      never does — label propagation stays linear) ----
+    "q101_dbscan" -> ((s, dir) => {
+      graft.operators.Dbscan.cluster(derivedPoints(s, dir), "doc_id",
+        epsDeg = 20.0, minPts = 8, res = 0)
+    }),
     // ---- per-track Douglas-Peucker simplification (the polygon
     //      tiler's simplify stage, standalone over ordered event
     //      tracks): one track-keyed shuffle, per-group linear kernel;
@@ -2071,6 +2080,41 @@ object SparkEntry {
         |SELECT cx, cy, n_within, num_q, den_q,
         |  round(CAST(num_q AS DOUBLE) / CAST(den_q AS DOUBLE), 6) AS idw
         |FROM agg""".stripMargin,
+    "q101_dbscan" ->
+      // full DBSCAN replay: brute-force ε-pairs (self included), core
+      // HAVING-count, transitive closure as a RECURSIVE CTE (min-label
+      // per component = the engine's cluster_id), border = min cluster
+      // of neighboring cores, rest noise
+      s"""WITH RECURSIVE pts AS ($derivedPointsSql),
+        |d AS MATERIALIZED (
+        |  SELECT a.doc_id AS qa, b.doc_id AS qb
+        |  FROM pts a JOIN pts b
+        |    ON (a.lon - b.lon) * (a.lon - b.lon)
+        |     + (a.lat - b.lat) * (a.lat - b.lat) <= 20.0 * 20.0),
+        |cores AS MATERIALIZED (
+        |  SELECT qa AS id FROM d GROUP BY qa HAVING count(*) >= 8),
+        |edges AS MATERIALIZED (
+        |  SELECT d.qa AS src, d.qb AS dst FROM d
+        |  JOIN cores c1 ON d.qa = c1.id JOIN cores c2 ON d.qb = c2.id),
+        |reach(a, b) AS (
+        |  SELECT id, id FROM cores
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |cc AS MATERIALIZED (
+        |  SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a),
+        |border AS MATERIALIZED (
+        |  SELECT d.qa AS id, min(cc.cluster_id) AS cluster_id
+        |  FROM d JOIN cc ON d.qb = cc.id
+        |  WHERE d.qa NOT IN (SELECT id FROM cores)
+        |  GROUP BY d.qa)
+        |SELECT id AS doc_id, 'core' AS role, cluster_id FROM cc
+        |UNION ALL
+        |SELECT id AS doc_id, 'border' AS role, cluster_id FROM border
+        |UNION ALL
+        |SELECT p.doc_id, 'noise' AS role, CAST(-1 AS BIGINT) AS cluster_id
+        |FROM pts p
+        |WHERE p.doc_id NOT IN (SELECT id FROM cc)
+        |  AND p.doc_id NOT IN (SELECT id FROM border)""".stripMargin,
     "q99_zonal_stats" -> {
       import graft.sources.PolyRegistry
       val branches = PolyRegistry.oracleTriangles.map { p =>

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact distributed DBSCAN (Ester et al. KDD'96) over planar points —
+  * the density clustering that turns a point cloud into labeled hot
+  * regions (the cluster-level view above q62's per-cell G* scores).
+  *
+  * Decomposition into the engine's existing scale-shaped pieces:
+  *  1. ε-neighborhood pairs via [[KnnJoin.withinRadius]] — cell-ring
+  *     candidates → ONE equi join, never an all-pairs nested loop;
+  *  2. core points = one count aggregation over the pairs (a point's
+  *     neighborhood INCLUDES itself, the standard minPts convention);
+  *  3. clusters = connected components over CORE–CORE edges
+  *     ([[Dedup.connectedComponents]] label propagation, eager
+  *     checkpoints per superstep) — cluster_id = min member id;
+  *  4. border points join the min-cluster_id of their core neighbors
+  *     (deterministic tie policy), everything else is noise.
+  *
+  * Exactness: every step is a closed ≤-threshold or a min — the whole
+  * labeling is replayable in SQL (the oracle runs the transitive
+  * closure as a recursive CTE; the ENGINE never does — at 10¹² points
+  * closure pairs are quadratic in cluster size, while label
+  * propagation stays linear per superstep).
+  */
+object Dbscan {
+
+  /** Cluster `points`(idCol, lon, lat) at radius `epsDeg` (planar
+    * degrees, closed ≤) with density `minPts` (self-inclusive). `res`
+    * sizes the candidate cells (inradius ≈ ε → rings ~2). Returns
+    * (idCol, role ∈ core|border|noise, cluster_id; -1 for noise).
+    */
+  def cluster(points: DataFrame, idCol: String, epsDeg: Double, minPts: Int,
+              res: Int = 1): DataFrame = {
+    require(minPts >= 1)
+    val qs = points.select(col(idCol).as("q_id"), col("lon").as("q_lon"),
+      col("lat").as("q_lat"))
+    val ps = points.select(col(idCol).as("p_id"), col("lon"), col("lat"))
+    // all ordered (q, p) pairs with dist ≤ ε, self included — consumed by
+    // the count, the core-edge builder, and the border assign
+    val pairs = KnnJoin.withinRadius(qs, ps, epsDeg, res)
+      .select("q_id", "p_id").localCheckpoint(true)
+    val cores = pairs.groupBy("q_id").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minPts)
+      .select(col("q_id").as("id"))
+      .localCheckpoint(true)
+    val coreEdges = pairs
+      .join(cores.select(col("id").as("q_id")), Seq("q_id"), "left_semi")
+      .join(cores.select(col("id").as("p_id")), Seq("p_id"), "left_semi")
+      .filter(col("q_id") < col("p_id"))
+      .select(col("q_id").as("id_a"), col("p_id").as("id_b"))
+    // min-label components over core-core edges; cores with no core
+    // neighbor are singleton clusters of themselves
+    val cc = Dedup.connectedComponents(coreEdges)
+    val coreLabels = cores
+      .join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      .localCheckpoint(true)
+    val borderLabels = pairs
+      .join(cores.select(col("id").as("q_id")), Seq("q_id"), "left_anti")
+      .join(coreLabels.select(col("id").as("p_id"),
+        col("cluster_id")), Seq("p_id"))
+      .groupBy("q_id")
+      .agg(min(col("cluster_id")).as("cluster_id"))
+      .select(col("q_id").as("id"), col("cluster_id"))
+    val labeled = coreLabels.withColumn("role", lit("core"))
+      .unionByName(borderLabels.withColumn("role", lit("border")))
+    points.select(col(idCol).as("id"))
+      .join(labeled, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("role"), lit("noise")).as("role"),
+        coalesce(col("cluster_id"), lit(-1L)).as("cluster_id"))
+  }
+}

@@ -533,12 +533,13 @@ object Dedup {
     * pair detection and "keep one canonical doc per duplicate family".
     * Min-label propagation in driver-coordinated supersteps (the standard
     * Pregel shape; each superstep is ONE shuffle join + min-agg, lineage
-    * truncated per step). Converges in graph-diameter steps — near-dup
-    * families are near-cliques (diameter 2-3), so 3-4 supersteps in
-    * practice; `maxIter` bounds pathological chains. For planet-scale
-    * high-diameter graphs the alternating large-star/small-star variant
-    * (Kiveris et al., "Connected Components in MapReduce and Beyond")
-    * halves diameter per round; not needed for dedup topology.
+    * truncated per step), accelerated by a pointer-jumping shortcut
+    * (label-of-label self-join) per round — O(log diameter) supersteps,
+    * the same doubling idea as Kiveris et al.'s large-star/small-star
+    * ("Connected Components in MapReduce and Beyond"). Near-dup
+    * families are near-cliques (2-3 rounds); chain-shaped graphs
+    * (DBSCAN core paths) converge in ~log₂(n) rounds instead of
+    * silently splitting at the iteration cap.
     * Production note: localCheckpoint stores blocks on executors — on a
     * real cluster with preemptible executors, point
     * spark.sparkContext.setCheckpointDir at durable storage and swap
@@ -564,8 +565,21 @@ object Dedup {
     while (!converged && i < maxIter) {
       val msgs = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("lbl"))
-      val next = labels.unionByName(msgs)
+      val prop = labels.unionByName(msgs)
         .groupBy("id").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      // pointer-jumping shortcut (label-of-label): every label is itself
+      // a vertex id, so one lookup join halves every label chain — the
+      // propagate+shortcut round converges in O(log diameter) supersteps
+      // instead of O(diameter). Near-clique dedup families never notice;
+      // chain-shaped graphs (DBSCAN core paths, long link chains) go
+      // from diameter-bound (hundreds of rounds, silently split at the
+      // iteration cap) to ~10 rounds at any realistic scale. The lookup
+      // is over the checkpointed frame, so the round still costs O(|V|).
+      val lut = prop.select(col("id").as("__lid"), col("lbl").as("__llbl"))
+      val next = prop.join(lut, col("lbl") === col("__lid"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("__llbl"), col("lbl"))).as("lbl"))
         .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
         .filter(col("lbl") =!= col("old")).limit(1).count()

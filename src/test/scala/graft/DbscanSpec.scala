@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact DBSCAN: role + cluster-label parity with a serial reference,
+  * deterministic labels under repartitioning, and the cell-ring
+  * candidate plan (no all-pairs nested loop).
+  */
+class DbscanSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  // serial DBSCAN with the operator's conventions: closed ≤ε, minPts
+  // self-inclusive, cluster_id = min core id of the component, border →
+  // min cluster among core neighbors
+  private def ref(pts: Seq[(Long, Double, Double)], eps: Double,
+                  minPts: Int): Map[Long, (String, Long)] = {
+    val byId = pts.map(p => p._1 -> p).toMap
+    def neigh(id: Long) = {
+      val (_, x, y) = byId(id)
+      pts.filter { case (_, a, b) =>
+        (x - a) * (x - a) + (y - b) * (y - b) <= eps * eps
+      }.map(_._1)
+    }
+    val nb = pts.map(p => p._1 -> neigh(p._1)).toMap
+    val cores = pts.map(_._1).filter(id => nb(id).size >= minPts).toSet
+    // union-find over core-core adjacency
+    val parent = scala.collection.mutable.Map(cores.map(c => c -> c).toSeq: _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      r
+    }
+    for (c <- cores; n <- nb(c) if cores(n)) {
+      val (ra, rb) = (find(c), find(n))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val label = cores.map(c => c -> cores.filter(find(_) == find(c)).min).toMap
+    pts.map(_._1).map { id =>
+      if (cores(id)) id -> (("core", label(id)))
+      else {
+        val coreNb = nb(id).filter(cores.contains)
+        if (coreNb.nonEmpty) id -> (("border", coreNb.map(label).min))
+        else id -> (("noise", -1L))
+      }
+    }.toMap
+  }
+
+  private def pts(n: Int): Seq[(Long, Double, Double)] =
+    (0 until n).map { i =>
+      val lon = (i * 17.000170000017) % 360.0 - 180.0
+      val lat = (i * 7.000070000007) % 170.0 - 85.0
+      (i.toLong, lon, lat)
+    }
+
+  test("parity with serial DBSCAN; all three roles occur; plan has no cartesian") {
+    import spark.implicits._
+    val data = pts(400)
+    val df = data.toDF("doc_id", "lon", "lat")
+    val out = graft.operators.Dbscan.cluster(df, "doc_id",
+      epsDeg = 20.0, minPts = 8, res = 0)
+    val got = out.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val want = ref(data, 20.0, 8)
+    assert(got === want)
+    val roles = got.values.map(_._1).toSet
+    assert(roles === Set("core", "border", "noise"), roles.toString)
+    // clusters are non-trivial: at least one multi-point cluster
+    assert(got.values.filter(_._1 == "core").groupBy(_._2).exists(_._2.size > 1))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("labels are deterministic under repartitioning") {
+    import spark.implicits._
+    val data = pts(400)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dbscan.cluster(df, "doc_id", 20.0, 8, res = 0)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val a = run(data.toDF("doc_id", "lon", "lat"))
+    val b = run(data.toDF("doc_id", "lon", "lat").repartition(13))
+    assert(a === b)
+  }
+
+  test("degenerate densities: minPts=1 makes every point a core; huge minPts makes all noise") {
+    import spark.implicits._
+    val df = pts(60).toDF("doc_id", "lon", "lat")
+    val all = graft.operators.Dbscan.cluster(df, "doc_id", 5.0, 1, res = 0)
+      .collect().map(r => r.getString(1)).toSet
+    assert(all === Set("core"))
+    val none = graft.operators.Dbscan.cluster(df, "doc_id", 5.0, 1000, res = 0)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(none === Set(("noise", -1L)))
+  }
+}
