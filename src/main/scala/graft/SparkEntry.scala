@@ -910,6 +910,23 @@ object SparkEntry {
           .withColumn("v", (col("doc_id") % 97).cast("double")),
         "lon", "lat", "v", cellDeg = 6.0, radiusDeg = 6.0)
     }),
+    // ---- ST-DBSCAN (Birant & Kut): events cluster only when close in
+    //      space AND time — the time predicate rides the same candidate
+    //      pairs as q101 (ids join back to 8-byte epoch-micro columns,
+    //      exact integer-valued doubles); sampled event stream so the
+    //      query stays bench-scale at every sf ----
+    "q102_st_dbscan" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("event_id") % 10 === 0)
+        .select(col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).cast("double").as("t_us"))
+        .withColumn("lon", col("event_id") * lit(17.000170000017) -
+          floor(col("event_id") * lit(17.000170000017) / 360.0) * 360.0 - 180.0)
+        .withColumn("lat", col("event_id") * lit(7.000070000007) -
+          floor(col("event_id") * lit(7.000070000007) / 170.0) * 170.0 - 85.0)
+      graft.operators.Dbscan.clusterST(ev, "event_id", epsDeg = 25.0,
+        minPts = 5, res = 1, timeEps = Some(("t_us", 3.0 * 86400e6)))
+    }),
     // ---- exact DBSCAN density clustering: ε-pairs via cell-ring
     //      candidates → core-point count agg → connected components
     //      over core-core edges → min-cluster border assign; the
@@ -2080,6 +2097,45 @@ object SparkEntry {
         |SELECT cx, cy, n_within, num_q, den_q,
         |  round(CAST(num_q AS DOUBLE) / CAST(den_q AS DOUBLE), 6) AS idw
         |FROM agg""".stripMargin,
+    "q102_st_dbscan" ->
+      // q101's recursive-CTE replay with the spatio-temporal pair
+      // predicate; 3.0 * 86400e6 µs = the 3-day εt, exact in double
+      s"""WITH RECURSIVE pts AS (
+        |  SELECT event_id,
+        |    CAST(epoch_us(ts) AS DOUBLE) AS t_us,
+        |    event_id * CAST(17.000170000017 AS DOUBLE) - floor(event_id * CAST(17.000170000017 AS DOUBLE) / 360.0) * 360.0 - 180.0 AS lon,
+        |    event_id * CAST(7.000070000007 AS DOUBLE) - floor(event_id * CAST(7.000070000007 AS DOUBLE) / 170.0) * 170.0 - 85.0 AS lat
+        |  FROM events WHERE event_id % 10 = 0),
+        |d AS MATERIALIZED (
+        |  SELECT a.event_id AS qa, b.event_id AS qb
+        |  FROM pts a JOIN pts b
+        |    ON (a.lon - b.lon) * (a.lon - b.lon)
+        |     + (a.lat - b.lat) * (a.lat - b.lat) <= 25.0 * 25.0
+        |   AND abs(a.t_us - b.t_us) <= 259200000000.0),
+        |cores AS MATERIALIZED (
+        |  SELECT qa AS id FROM d GROUP BY qa HAVING count(*) >= 5),
+        |edges AS MATERIALIZED (
+        |  SELECT d.qa AS src, d.qb AS dst FROM d
+        |  JOIN cores c1 ON d.qa = c1.id JOIN cores c2 ON d.qb = c2.id),
+        |reach(a, b) AS (
+        |  SELECT id, id FROM cores
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |cc AS MATERIALIZED (
+        |  SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a),
+        |border AS MATERIALIZED (
+        |  SELECT d.qa AS id, min(cc.cluster_id) AS cluster_id
+        |  FROM d JOIN cc ON d.qb = cc.id
+        |  WHERE d.qa NOT IN (SELECT id FROM cores)
+        |  GROUP BY d.qa)
+        |SELECT id AS event_id, 'core' AS role, cluster_id FROM cc
+        |UNION ALL
+        |SELECT id AS event_id, 'border' AS role, cluster_id FROM border
+        |UNION ALL
+        |SELECT p.event_id, 'noise' AS role, CAST(-1 AS BIGINT) AS cluster_id
+        |FROM pts p
+        |WHERE p.event_id NOT IN (SELECT id FROM cc)
+        |  AND p.event_id NOT IN (SELECT id FROM border)""".stripMargin,
     "q101_dbscan" ->
       // full DBSCAN replay: brute-force ε-pairs (self included), core
       // HAVING-count, transitive closure as a RECURSIVE CTE (min-label

@@ -32,15 +32,41 @@ object Dbscan {
     * (idCol, role ∈ core|border|noise, cluster_id; -1 for noise).
     */
   def cluster(points: DataFrame, idCol: String, epsDeg: Double, minPts: Int,
-              res: Int = 1): DataFrame = {
+              res: Int = 1): DataFrame =
+    clusterST(points, idCol, epsDeg, minPts, res, timeEps = None)
+
+  /** ST-DBSCAN (Birant & Kut 2007): `timeEps = Some((tCol, εt))` adds
+    * the temporal reachability predicate |t_q − t_p| ≤ εt (closed, the
+    * spatial convention) — two events cluster only when close in space
+    * AND time. The time filter rides the SAME candidate pairs (ids join
+    * back to the 8-byte time column once); everything downstream —
+    * core counts, components, border assign — is unchanged.
+    */
+  def clusterST(points: DataFrame, idCol: String, epsDeg: Double,
+                minPts: Int, res: Int,
+                timeEps: Option[(String, Double)]): DataFrame = {
     require(minPts >= 1)
     val qs = points.select(col(idCol).as("q_id"), col("lon").as("q_lon"),
       col("lat").as("q_lat"))
     val ps = points.select(col(idCol).as("p_id"), col("lon"), col("lat"))
-    // all ordered (q, p) pairs with dist ≤ ε, self included — consumed by
-    // the count, the core-edge builder, and the border assign
-    val pairs = KnnJoin.withinRadius(qs, ps, epsDeg, res)
-      .select("q_id", "p_id").localCheckpoint(true)
+    val spatial = KnnJoin.withinRadius(qs, ps, epsDeg, res)
+      .select("q_id", "p_id")
+    // all ordered (q, p) pairs with dist ≤ ε (∧ |Δt| ≤ εt), self
+    // included — consumed by the count, the core-edge builder, and the
+    // border assign
+    val pairs = (timeEps match {
+      case None => spatial
+      case Some((tCol, et)) =>
+        require(et >= 0.0)
+        val ts = points.select(col(idCol), col(tCol).cast("double"))
+        spatial
+          .join(ts.select(col(idCol).as("q_id"), col(tCol).as("__tq")),
+            Seq("q_id"))
+          .join(ts.select(col(idCol).as("p_id"), col(tCol).as("__tp")),
+            Seq("p_id"))
+          .filter(abs(col("__tq") - col("__tp")) <= lit(et))
+          .select("q_id", "p_id")
+    }).localCheckpoint(true)
     val cores = pairs.groupBy("q_id").agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= minPts)
       .select(col("q_id").as("id"))

@@ -82,6 +82,26 @@ class DbscanSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("ST variant: near-in-space far-in-time points do not cluster; εt=∞ degenerates to plain DBSCAN") {
+    import spark.implicits._
+    // two spatially tight groups at the same place, 10 time units apart
+    val rows = (0L until 6L).map(i => (i, 10.0 + i * 0.1, 10.0, 0.0 + i)) ++
+      (6L until 12L).map(i => (i, 10.0 + (i - 6) * 0.1, 10.0, 100.0 + i))
+    val df = rows.toDF("doc_id", "lon", "lat", "t")
+    val st = graft.operators.Dbscan.clusterST(df, "doc_id", epsDeg = 2.0,
+        minPts = 4, res = 2, timeEps = Some(("t", 10.0)))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // each temporal burst is its own cluster — never merged across time
+    assert(st.filter(_._1 < 6).values.map(_._2).toSet === Set(0L))
+    assert(st.filter(_._1 >= 6).values.map(_._2).toSet === Set(6L))
+    assert(st.values.forall(_._1 == "core"))
+    // with the time gate effectively off, space merges them into one
+    val plain = graft.operators.Dbscan.clusterST(df, "doc_id", 2.0, 4,
+        res = 2, timeEps = Some(("t", 1e9)))
+      .collect().map(r => r.getLong(2)).toSet
+    assert(plain === Set(0L))
+  }
+
   test("degenerate densities: minPts=1 makes every point a core; huge minPts makes all noise") {
     import spark.implicits._
     val df = pts(60).toDF("doc_id", "lon", "lat")
