@@ -925,7 +925,7 @@ object SparkEntry {
         .withColumn("lat", col("event_id") * lit(7.000070000007) -
           floor(col("event_id") * lit(7.000070000007) / 170.0) * 170.0 - 85.0)
       graft.operators.Dbscan.clusterST(ev, "event_id", epsDeg = 25.0,
-        minPts = 5, res = 1, timeEps = Some(("t_us", 3.0 * 86400e6)))
+        minPts = 5, res = 0, timeEps = Some(("t_us", 3.0 * 86400e6)))
     }),
     // ---- exact DBSCAN density clustering: ε-pairs via cell-ring
     //      candidates → core-point count agg → connected components
