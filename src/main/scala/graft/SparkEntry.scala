@@ -927,6 +927,21 @@ object SparkEntry {
       graft.operators.Dbscan.clusterST(ev, "event_id", epsDeg = 25.0,
         minPts = 5, res = 0, timeEps = Some(("t_us", 3.0 * 86400e6)))
     }),
+    // ---- hot-region polygons: convex hull per DBSCAN cluster (core+
+    //      border members) — registry-sized output regardless of member
+    //      count; the polygon layer a tile map draws over the density ----
+    "q103_cluster_hulls" -> ((s, dir) => {
+      // 8 anchored blobs (anchor = doc_id % 8, derived point as jitter):
+      // genuinely clustered input — the quasi-uniform lattice percolates
+      // into one giant component at any eps, which makes a 1-polygon demo
+      val pts = derivedPoints(s, dir).select(col("doc_id"),
+        ((col("doc_id") % 8).cast("double") * lit(45.0) - lit(157.5)
+          + col("lon") * lit(0.05)).as("lon"),
+        ((col("doc_id") % 8).cast("double") * lit(20.0) - lit(70.0)
+          + col("lat") * lit(0.05)).as("lat"))
+      graft.operators.Dbscan.clusterHulls(pts, "doc_id",
+        epsDeg = 5.0, minPts = 8, res = 1)
+    }),
     // ---- exact DBSCAN density clustering: ε-pairs via cell-ring
     //      candidates → core-point count agg → connected components
     //      over core-core edges → min-cluster border assign; the

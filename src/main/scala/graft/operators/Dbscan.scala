@@ -98,4 +98,43 @@ object Dbscan {
         coalesce(col("role"), lit("noise")).as("role"),
         coalesce(col("cluster_id"), lit(-1L)).as("cluster_id"))
   }
+
+  /** Hot-region polygons: the convex hull of every cluster's member
+    * points (core + border; noise excluded) — what a tile layer
+    * displays on top of the point density. One join of labels back to
+    * coordinates, one cluster-keyed `mapGroups` running the pure
+    * monotone-chain kernel; hull size is bounded by the cluster's
+    * extremal points, so the output is registry-sized regardless of
+    * member count. Returns (cluster_id, n_pts, n_hull, area, wkt) —
+    * wkt a closed CCW `POLYGON ((…))` at 6 dp (LINESTRING for
+    * degenerate ≤2-point hulls), area the shoelace value rounded 6 dp.
+    */
+  def clusterHulls(points: DataFrame, idCol: String, epsDeg: Double,
+                   minPts: Int, res: Int = 1): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val labels = cluster(points, idCol, epsDeg, minPts, res)
+      .filter(col("role") =!= "noise")
+      .select(col(idCol).as("__id"), col("cluster_id"))
+    points.select(col(idCol).as("__id"), col("lon"), col("lat"))
+      .join(labels, Seq("__id"))
+      .select(col("cluster_id"), col("lon"), col("lat"))
+      .as[(Long, Double, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (cid, it) =>
+        val pts = it.map(p => (p._2, p._3)).toArray
+        val h = graft.core.ConvexHull.hull(pts)
+        def fmt(p: (Double, Double)): String =
+          String.format(java.util.Locale.ROOT, "%.6f %.6f",
+            p._1.asInstanceOf[AnyRef], p._2.asInstanceOf[AnyRef])
+        val wkt =
+          if (h.length >= 3)
+            (h :+ h.head).map(fmt).mkString("POLYGON ((", ", ", "))")
+          else h.map(fmt).mkString("LINESTRING (", ", ", ")")
+        val area = BigDecimal.valueOf(graft.core.ConvexHull.area(h))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (cid, pts.length.toLong, h.length.toLong, area, wkt)
+      }
+      .toDF("cluster_id", "n_pts", "n_hull", "area", "wkt")
+  }
 }

@@ -102,6 +102,62 @@ class DbscanSpec extends AnyFunSuite {
     assert(plain === Set(0L))
   }
 
+  test("convex hull kernel: containment, vertex subset, known square, degenerate inputs") {
+    import graft.core.ConvexHull
+    // known case: unit square + interior/edge points → the 4 corners
+    val sq = Array((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0),
+      (0.5, 0.5), (0.5, 0.0), (0.3, 0.9))
+    val h = ConvexHull.hull(sq)
+    assert(h.toSet === Set((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)))
+    assert(math.abs(ConvexHull.area(h) - 1.0) < 1e-12)
+    // property on scattered sets: hull vertices ⊆ input, every input
+    // point inside-or-on the hull (cross-product sign test), CCW order
+    (0 until 10).foreach { t =>
+      val pts = Array.tabulate(40)(i =>
+        (math.sin(i * 0.7 + t) * 10, math.cos(i * 1.3 + t) * 7))
+      val hh = ConvexHull.hull(pts)
+      assert(hh.toSet.subsetOf(pts.toSet))
+      def cross(o: (Double, Double), a: (Double, Double), b: (Double, Double)) =
+        (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+      pts.foreach { p =>
+        hh.indices.foreach { i =>
+          assert(cross(hh(i), hh((i + 1) % hh.length), p) >= -1e-9,
+            s"t=$t point $p outside edge $i")
+        }
+      }
+    }
+    // degenerate: 2 points, collinear set
+    assert(ConvexHull.hull(Array((1.0, 1.0), (2.0, 2.0))).length === 2)
+    assert(ConvexHull.hull(
+      Array((0.0, 0.0), (1.0, 1.0), (2.0, 2.0), (3.0, 3.0))).toSet ===
+      Set((0.0, 0.0), (3.0, 3.0)))
+  }
+
+  test("cluster hulls: one polygon per cluster, members contained, noise excluded") {
+    import spark.implicits._
+    val data = pts(400)
+    val df = data.toDF("doc_id", "lon", "lat")
+    val labels = graft.operators.Dbscan.cluster(df, "doc_id", 20.0, 8, res = 0)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val hulls = graft.operators.Dbscan
+      .clusterHulls(df, "doc_id", 20.0, 8, res = 0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))).toMap
+    val wantClusters = labels.values.filter(_._1 != "noise").map(_._2).toSet
+    assert(hulls.keySet === wantClusters)
+    // member counts conserve and areas are positive for real polygons
+    wantClusters.foreach { c =>
+      val members = labels.count(kv => kv._2._1 != "noise" && kv._2._2 == c)
+      val (nPts, nHull, area, wkt) = hulls(c)
+      assert(nPts === members.toLong)
+      assert(nHull <= nPts)
+      if (nHull >= 3) {
+        assert(area > 0.0)
+        assert(wkt.startsWith("POLYGON ((") && wkt.endsWith("))"))
+      }
+    }
+  }
+
   test("degenerate densities: minPts=1 makes every point a core; huge minPts makes all noise") {
     import spark.implicits._
     val df = pts(60).toDF("doc_id", "lon", "lat")
