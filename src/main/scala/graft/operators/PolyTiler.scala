@@ -109,6 +109,79 @@ object PolyTiler {
     TileRow(z, tx, ty, feats.length, bytes)
   }
 
+  /** Tile ARBITRARY polygon rows — the bridge that turns DERIVED
+    * geometry (q103's DBSCAN cluster hulls, any WKT polygon column)
+    * into a servable MVT layer, completing the loop points → clusters
+    * → hull polygons → tiles. Same cover → clip → simplify → encode
+    * path as the registry tiler, but the geometry rides the rows:
+    * derived layers are registry-sized (hulls are bounded by cluster
+    * count, not point count), so carrying WKT through the one
+    * tile-keyed shuffle is cheap and nothing is driver-collected.
+    * Non-polygonal WKT (degenerate ≤2-point hulls come out as
+    * LINESTRINGs) is skipped. Features carry `geom_id` = idCol.
+    */
+  def buildTilesFromWkt(polys: DataFrame, idCol: String, wktCol: String,
+                        zooms: Seq[Int], layerName: String = "derived",
+                        extent: Int = WebMercator.Extent): Dataset[TileRow] = {
+    val spark = polys.sparkSession
+    import spark.implicits._
+    val zoomsArr = zooms.toArray
+    val ext = extent
+    val layer = layerName
+    val rows = polys
+      .select(col(idCol).cast("long"), col(wktCol).cast("string"))
+      .as[(Long, String)]
+    rows
+      .flatMap { case (id, wkt) =>
+        if (!wkt.startsWith("POLYGON")) Iterator.empty
+        else {
+          val g = new org.locationtech.jts.io.WKTReader(gf).read(wkt)
+          val env = g.getEnvelopeInternal
+          zoomsArr.iterator.flatMap { z =>
+            val txMin = WebMercator.tileX(env.getMinX, z)
+            val txMax = WebMercator.tileX(env.getMaxX, z)
+            val tyMin = WebMercator.tileY(env.getMaxY, z)
+            val tyMax = WebMercator.tileY(env.getMinY, z)
+            for (tx <- txMin to txMax; ty <- tyMin to tyMax)
+              yield (WebMercator.tileId(z, tx, ty), id, wkt)
+          }
+        }
+      }
+      .groupByKey(_._1)
+      .mapGroups { (tileId, it) =>
+        val z = WebMercator.tileIdZoom(tileId)
+        val tx = WebMercator.tileIdX(tileId)
+        val ty = WebMercator.tileIdY(tileId)
+        val (lonMin, latMin, lonMax, latMax) = WebMercator.tileBounds(z, tx, ty)
+        val bufLon = (lonMax - lonMin) * BufferPx / ext
+        val bufLat = (latMax - latMin) * BufferPx / ext
+        val envelope = gf.createPolygon(Array(
+          new Coordinate(lonMin - bufLon, latMin - bufLat),
+          new Coordinate(lonMax + bufLon, latMin - bufLat),
+          new Coordinate(lonMax + bufLon, latMax + bufLat),
+          new Coordinate(lonMin - bufLon, latMax + bufLat),
+          new Coordinate(lonMin - bufLon, latMin - bufLat)))
+        val tolerance = (lonMax - lonMin) / ext
+        val reader = new org.locationtech.jts.io.WKTReader(gf)
+        val feats = it.toSeq.sortBy(_._2).flatMap { case (_, id, wkt) =>
+          val clipped = reader.read(wkt).intersection(envelope)
+          if (clipped.isEmpty) None
+          else {
+            val simplified =
+              DouglasPeuckerSimplifier.simplify(clipped, tolerance)
+            val rings = geometryRings(simplified, z, tx, ty, ext)
+            if (rings.isEmpty) None
+            else Some(MvtEncoder.Feature(id + 1, MvtEncoder.GeomPolygon,
+              rings, Seq("geom_id" -> MvtEncoder.IVal(id))))
+          }
+        }
+        val bytes =
+          if (feats.isEmpty) Array.empty[Byte]
+          else MvtEncoder.encodeTile(Seq(layer -> feats), ext)
+        TileRow(z, tx, ty, feats.length, bytes)
+      }
+  }
+
   /** JTS geometry → MVT rings in tile-local ints with enforced winding. */
   def geometryRings(g: Geometry, z: Int, tx: Long, ty: Long,
                     extent: Int): Array[Array[(Int, Int)]] = {

@@ -35,6 +35,39 @@ class PolyTilerSpec extends AnyFunSuite {
     }
   }
 
+  test("derived WKT polygons (cluster hulls) tile into a decodable MVT layer") {
+    import spark.implicits._
+    // q103-style blobbed points → DBSCAN hulls → MVT hull layer
+    val pts = (0 until 400).map { i =>
+      val lon = (i * 17.000170000017) % 360.0 - 180.0
+      val lat = (i * 7.000070000007) % 170.0 - 85.0
+      (i.toLong, (i % 8) * 45.0 - 157.5 + lon * 0.05,
+        (i % 8) * 20.0 - 70.0 + lat * 0.05)
+    }.toDF("doc_id", "lon", "lat")
+    val hulls = graft.operators.Dbscan.clusterHulls(pts, "doc_id",
+      epsDeg = 5.0, minPts = 8, res = 1)
+    val nHulls = hulls.count()
+    assert(nHulls === 8L)
+    val tiles = graft.operators.PolyTiler
+      .buildTilesFromWkt(hulls, "cluster_id", "wkt", Seq(2, 4),
+        layerName = "hulls")
+      .collect()
+    assert(tiles.nonEmpty)
+    val seen = scala.collection.mutable.Set[Long]()
+    tiles.filter(_.mvt_bytes.nonEmpty).foreach { t =>
+      val layers = MvtReader.readTile(t.mvt_bytes)
+      assert(layers.head.name === "hulls")
+      layers.head.features.foreach { f =>
+        assert(f.geomType === MvtEncoder.GeomPolygon)
+        seen += f.id - 1 // feature id = geom_id + 1
+      }
+    }
+    // every cluster's hull lands in at least one tile at some zoom
+    val clusterIds = hulls.select("cluster_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(seen.toSet === clusterIds)
+  }
+
   test("clipping: a polygon bigger than the tile fills the whole tile") {
     // europe region rect at z4 — interior tiles are fully covered
     val tiles = graft.operators.PolyTiler
