@@ -254,6 +254,41 @@ object Main {
       spark.stop()
       return
     }
+    // hot-region layer: geoparsed points → DBSCAN clusters → convex-hull
+    // polygons → MVT "hotspots" layer, committed as its own lineage root
+    // (merge onto the point tiles with Tiler.mergeTileLayers for a
+    // multi-layer serving table)
+    if (args.contains("--hulls")) {
+      val cfg = parseArgs(args.filterNot(_ == "--hulls"))
+      val spark = session()
+      val t0 = System.nanoTime()
+      val feats = graft.operators.GeoPipeline
+        .pagesToFeatures(spark, pageTable(spark, cfg), cfg.s2Level, cfg.hexRes)
+        .filter(col("lat").isNotNull && col("lon").isNotNull)
+      // one row per distinct point; the content-derived id keeps the
+      // labeling deterministic at any parallelism
+      val pts = feats.select(
+          xxhash64(col("url"), col("name"), col("lon"), col("lat")).as("pid"),
+          col("lon"), col("lat")).distinct()
+      val hulls = graft.operators.Dbscan.clusterHulls(pts, "pid",
+        epsDeg = 3.0, minPts = 25, res = 2)
+      // dense non-negative ids for the MVT feature ids (cluster_id is a
+      // min content hash — possibly negative, meaningless to a client)
+      val w = org.apache.spark.sql.expressions.Window.orderBy("cluster_id")
+      val ranked = hulls.withColumn("hull_id",
+        row_number().over(w).cast("long"))
+      val tiles = graft.operators.PolyTiler.buildTilesFromWkt(
+        ranked, "hull_id", "wkt", cfg.zooms, layerName = "hotspots")
+      val snap = graft.plans.Lineage.commit(
+        graft.operators.Tiler.tilesWithStats(tiles), cfg.outDir,
+        s"hotspot hulls pages=${cfg.nPages} zooms=${cfg.zooms.mkString(",")}")
+      val nHulls = ranked.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"committed snapshot ${snap.id}: $nHulls hull polygons → " +
+        f"${snap.rows} hotspot tiles in $secs%.1f s")
+      spark.stop()
+      return
+    }
     if (args.contains("--curate")) {
       val cfg = parseArgs(args.filterNot(a =>
         a == "--curate" || a == "--neardup" || a == "--site-boiler"))
