@@ -267,9 +267,13 @@ object Main {
         .filter(col("lat").isNotNull && col("lon").isNotNull)
       // one row per distinct point; the content-derived id keeps the
       // labeling deterministic at any parallelism
+      // materialized once: the ε-pair join consumes the point cloud on
+      // BOTH sides and the hull stage joins coordinates back — without
+      // this the geoparse lineage re-runs per consumer
       val pts = feats.select(
           xxhash64(col("url"), col("name"), col("lon"), col("lat")).as("pid"),
           col("lon"), col("lat")).distinct()
+        .localCheckpoint(true)
       val hulls = graft.operators.Dbscan.clusterHulls(pts, "pid",
         epsDeg = 3.0, minPts = 25, res = 2)
       // dense non-negative ids for the MVT feature ids (cluster_id is a

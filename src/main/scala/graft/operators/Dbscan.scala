@@ -23,6 +23,15 @@ import org.apache.spark.sql.functions._
   * closure as a recursive CTE; the ENGINE never does — at 10¹² points
   * closure pairs are quadratic in cluster size, while label
   * propagation stays linear per superstep).
+  *
+  * Scale hazard: the ε-pair set itself is Σ|blob|² over dense blobs —
+  * a Zipf-hot city with 10⁶ points inside ε produces 10¹² pairs no
+  * candidate scheme can avoid, because exact DBSCAN's core COUNT needs
+  * them. The standard remedy at that density is cell-level
+  * pre-aggregation (collapse points to fine-cell representatives with
+  * weights, run the weighted core condition Σw ≥ minPts — grid DBSCAN),
+  * trading exact point labels for cell-resolution labels; wire it
+  * upstream of [[cluster]] when blobs outgrow executors.
   */
 object Dbscan {
 
