@@ -927,6 +927,14 @@ object SparkEntry {
       graft.operators.Dbscan.clusterST(ev, "event_id", epsDeg = 25.0,
         minPts = 5, res = 0, timeEps = Some(("t_us", 3.0 * 86400e6)))
     }),
+    // ---- grid (weighted) DBSCAN — the dense-blob remedy: points
+    //      collapse to floor-cell reps with weights, the core condition
+    //      is Σw ≥ minPts over rep pairs, labels inherit through the
+    //      rep; pair count bounded by occupied-cell geometry ----
+    "q104_grid_dbscan" -> ((s, dir) => {
+      graft.operators.Dbscan.clusterGrid(derivedPoints(s, dir), "doc_id",
+        epsDeg = 20.0, minPts = 10, cellDeg = 4.0, res = 0)
+    }),
     // ---- hot-region polygons: convex hull per DBSCAN cluster (core+
     //      border members) — registry-sized output regardless of member
     //      count; the polygon layer a tile map draws over the density ----
@@ -2112,6 +2120,55 @@ object SparkEntry {
         |SELECT cx, cy, n_within, num_q, den_q,
         |  round(CAST(num_q AS DOUBLE) / CAST(den_q AS DOUBLE), 6) AS idw
         |FROM agg""".stripMargin,
+    "q104_grid_dbscan" ->
+      // weighted-rep replay: floor-cell reps (exact integer ids +
+      // center-coordinate formula text), Σw core condition, recursive
+      // closure over rep edges, points inherit via the same floor rep
+      s"""WITH RECURSIVE pts AS ($derivedPointsSql),
+        |cells AS MATERIALIZED (
+        |  SELECT CAST(floor((lon + 180.0) / 4.0) AS BIGINT) AS cx,
+        |    CAST(floor((lat + 90.0) / 4.0) AS BIGINT) AS cy,
+        |    count(*) AS w
+        |  FROM pts GROUP BY 1, 2),
+        |reps AS MATERIALIZED (
+        |  SELECT cx * 100000 + cy AS rep,
+        |    (CAST(cx AS DOUBLE) + 0.5) * 4.0 - 180.0 AS rlon,
+        |    (CAST(cy AS DOUBLE) + 0.5) * 4.0 - 90.0 AS rlat, w
+        |  FROM cells),
+        |d AS MATERIALIZED (
+        |  SELECT a.rep AS qa, b.rep AS qb, b.w AS wb
+        |  FROM reps a JOIN reps b
+        |    ON (a.rlon - b.rlon) * (a.rlon - b.rlon)
+        |     + (a.rlat - b.rlat) * (a.rlat - b.rlat) <= 20.0 * 20.0),
+        |cores AS MATERIALIZED (
+        |  SELECT qa AS id FROM d GROUP BY qa HAVING sum(wb) >= 10),
+        |edges AS MATERIALIZED (
+        |  SELECT d.qa AS src, d.qb AS dst FROM d
+        |  JOIN cores c1 ON d.qa = c1.id JOIN cores c2 ON d.qb = c2.id),
+        |reach(a, b) AS (
+        |  SELECT id, id FROM cores
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |cc AS MATERIALIZED (
+        |  SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a),
+        |border AS MATERIALIZED (
+        |  SELECT d.qa AS id, min(cc.cluster_id) AS cluster_id
+        |  FROM d JOIN cc ON d.qb = cc.id
+        |  WHERE d.qa NOT IN (SELECT id FROM cores)
+        |  GROUP BY d.qa),
+        |prep AS (
+        |  SELECT doc_id,
+        |    CAST(floor((lon + 180.0) / 4.0) AS BIGINT) * 100000
+        |      + CAST(floor((lat + 90.0) / 4.0) AS BIGINT) AS rep
+        |  FROM pts)
+        |SELECT p.doc_id,
+        |  CASE WHEN cc.id IS NOT NULL THEN 'core'
+        |       WHEN bo.id IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role,
+        |  coalesce(cc.cluster_id, bo.cluster_id, -1) AS cluster_id
+        |FROM prep p
+        |LEFT JOIN cc ON p.rep = cc.id
+        |LEFT JOIN border bo ON p.rep = bo.id""".stripMargin,
     "q102_st_dbscan" ->
       // q101's recursive-CTE replay with the spatio-temporal pair
       // predicate; 3.0 * 86400e6 µs = the 3-day εt, exact in double

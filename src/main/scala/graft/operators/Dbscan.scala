@@ -108,6 +108,76 @@ object Dbscan {
         coalesce(col("cluster_id"), lit(-1L)).as("cluster_id"))
   }
 
+  /** Grid (weighted) DBSCAN — the dense-blob remedy from the scaladoc
+    * above, shipped: points collapse to one representative per
+    * `cellDeg`-degree planar cell (center coordinates, weight = point
+    * count), the core condition becomes the WEIGHTED density
+    * Σ w(reps within ε) ≥ minPts, and components/border run over reps.
+    * Every point inherits its rep's label, so the ε-pair set is bounded
+    * by occupied-CELL geometry — a 10⁶-point hot blob contributes a
+    * handful of rep pairs instead of 10¹² point pairs — at the cost of
+    * cell-resolution labels (pick cellDeg ≪ ε; the standard grid-DBSCAN
+    * trade).
+    *
+    * Deterministic + SQL-replayable end to end: reps are floor-grid
+    * cells (rep_id = cx·100000 + cy, exact integers), distances are the
+    * fixed-order center-to-center formula, weights are exact counts.
+    * Returns (idCol, role, cluster_id = min rep_id of the component;
+    * −1 noise).
+    */
+  def clusterGrid(points: DataFrame, idCol: String, epsDeg: Double,
+                  minPts: Int, cellDeg: Double, res: Int = 1): DataFrame = {
+    require(minPts >= 1 && cellDeg >= 0.01) // rep_id packing bound
+    val withCell = points
+      .withColumn("__cx",
+        floor((col("lon") + lit(180.0)) / lit(cellDeg)).cast("long"))
+      .withColumn("__cy",
+        floor((col("lat") + lit(90.0)) / lit(cellDeg)).cast("long"))
+      .withColumn("__rep", col("__cx") * lit(100000L) + col("__cy"))
+    val reps = withCell.groupBy("__cx", "__cy", "__rep")
+      .agg(count(lit(1)).as("__w"))
+      .withColumn("__rlon",
+        (col("__cx").cast("double") + lit(0.5)) * lit(cellDeg) - lit(180.0))
+      .withColumn("__rlat",
+        (col("__cy").cast("double") + lit(0.5)) * lit(cellDeg) - lit(90.0))
+      .localCheckpoint(true)
+    val qs = reps.select(col("__rep").as("q_id"), col("__rlon").as("q_lon"),
+      col("__rlat").as("q_lat"))
+    val ps = reps.select(col("__rep").as("p_id"), col("__rlon").as("lon"),
+      col("__rlat").as("lat"))
+    val pairs = KnnJoin.withinRadius(qs, ps, epsDeg, res)
+      .select("q_id", "p_id").localCheckpoint(true)
+    val wts = reps.select(col("__rep").as("p_id"), col("__w"))
+    val cores = pairs.join(wts, Seq("p_id"))
+      .groupBy("q_id").agg(sum("__w").as("__n"))
+      .filter(col("__n") >= minPts)
+      .select(col("q_id").as("id"))
+      .localCheckpoint(true)
+    val coreEdges = pairs
+      .join(cores.select(col("id").as("q_id")), Seq("q_id"), "left_semi")
+      .join(cores.select(col("id").as("p_id")), Seq("p_id"), "left_semi")
+      .filter(col("q_id") < col("p_id"))
+      .select(col("q_id").as("id_a"), col("p_id").as("id_b"))
+    val cc = Dedup.connectedComponents(coreEdges)
+    val coreLabels = cores.join(cc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      .localCheckpoint(true)
+    val borderLabels = pairs
+      .join(cores.select(col("id").as("q_id")), Seq("q_id"), "left_anti")
+      .join(coreLabels.select(col("id").as("p_id"), col("cluster_id")),
+        Seq("p_id"))
+      .groupBy("q_id").agg(min(col("cluster_id")).as("cluster_id"))
+      .select(col("q_id").as("id"), col("cluster_id"))
+    val labeled = coreLabels.withColumn("role", lit("core"))
+      .unionByName(borderLabels.withColumn("role", lit("border")))
+    withCell.select(col(idCol), col("__rep").as("id"))
+      .join(labeled, Seq("id"), "left")
+      .select(col(idCol),
+        coalesce(col("role"), lit("noise")).as("role"),
+        coalesce(col("cluster_id"), lit(-1L)).as("cluster_id"))
+  }
+
   /** Hot-region polygons: the convex hull of every cluster's member
     * points (core + border; noise excluded) — what a tile layer
     * displays on top of the point density. One join of labels back to

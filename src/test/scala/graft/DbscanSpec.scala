@@ -102,6 +102,62 @@ class DbscanSpec extends AnyFunSuite {
     assert(plain === Set(0L))
   }
 
+  test("grid DBSCAN: serial weighted-rep parity; blobs compress to few rep pairs") {
+    import spark.implicits._
+    // serial reference replicating the rep construction + weighted core
+    def ref(ps: Seq[(Long, Double, Double)], eps: Double, mp: Int,
+            cell: Double): Map[Long, (String, Long)] = {
+      def rep(lon: Double, lat: Double): Long =
+        math.floor((lon + 180.0) / cell).toLong * 100000L +
+          math.floor((lat + 90.0) / cell).toLong
+      val w = ps.groupBy(p => rep(p._2, p._3)).view.mapValues(_.size).toMap
+      def center(r: Long) = (((r / 100000L) + 0.5) * cell - 180.0,
+        ((r % 100000L) + 0.5) * cell - 90.0)
+      val keys = w.keys.toSeq
+      val nb = keys.map { k =>
+        val (x, y) = center(k)
+        k -> keys.filter { m =>
+          val (a, b) = center(m)
+          (x - a) * (x - a) + (y - b) * (y - b) <= eps * eps
+        }
+      }.toMap
+      val cores = keys.filter(k => nb(k).map(w).sum >= mp).toSet
+      val parent = scala.collection.mutable.Map(cores.map(c => c -> c).toSeq: _*)
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      for (c <- cores; n <- nb(c) if cores(n)) {
+        val (ra, rb) = (find(c), find(n))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val label = cores.map(c => c -> cores.filter(find(_) == find(c)).min).toMap
+      ps.map { case (id, lon, lat) =>
+        val r = rep(lon, lat)
+        if (cores(r)) id -> (("core", label(r)))
+        else {
+          val cn = nb(r).filter(cores.contains)
+          if (cn.nonEmpty) id -> (("border", cn.map(label).min))
+          else id -> (("noise", -1L))
+        }
+      }.toMap
+    }
+    val data = pts(400)
+    val got = graft.operators.Dbscan.clusterGrid(
+        data.toDF("doc_id", "lon", "lat"), "doc_id",
+        epsDeg = 20.0, minPts = 10, cellDeg = 4.0, res = 0)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got === ref(data, 20.0, 10, 4.0))
+    assert(got.values.map(_._1).toSet === Set("core", "border", "noise"))
+    // compression: 400 coincident-ish points in 2 tight blobs → 2 reps,
+    // both clusters labeled, every point core, pair set is rep-sized
+    val blob = (0L until 400L).map(i =>
+      (i, (if (i % 2 == 0) 10.0 else 100.0) + (i % 5) * 0.01, 20.0))
+    val g2 = graft.operators.Dbscan.clusterGrid(
+        blob.toDF("doc_id", "lon", "lat"), "doc_id",
+        epsDeg = 5.0, minPts = 50, cellDeg = 4.0, res = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(g2.forall(_._2 == "core"))
+    assert(g2.map(_._3).distinct.length === 2) // one cluster per blob
+  }
+
   test("convex hull kernel: containment, vertex subset, known square, degenerate inputs") {
     import graft.core.ConvexHull
     // known case: unit square + interior/edge points → the 4 corners
