@@ -267,7 +267,8 @@ object Bench {
       "q91_token_shards", "q92_intradoc_dedup", "q93_morans_i",
       "q94_dwithin", "q95_host_boilerplate", "q96_kde_density",
       "q97_idw_grid", "q98_tri_overlay", "q99_zonal_stats",
-      "q100_track_simplify", "q101_dbscan")
+      "q100_track_simplify", "q101_dbscan", "q102_st_dbscan",
+      "q104_grid_dbscan")
     val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") == "1"
     // per-query shuffle-write MB + cpu_sec: the plan-quality and
     // steal-attribution evidence. Both are captured from the WINNING
