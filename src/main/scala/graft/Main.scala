@@ -257,9 +257,16 @@ object Main {
     // hot-region layer: geoparsed points → DBSCAN clusters → convex-hull
     // polygons → MVT "hotspots" layer, committed as its own lineage root
     // (merge onto the point tiles with Tiler.mergeTileLayers for a
-    // multi-layer serving table)
+    // multi-layer serving table). Default labeling is GRID (weighted)
+    // DBSCAN — geoparse output is exactly the Zipf-hot dense-blob input
+    // whose exact ε-pair set is Σ|blob|² (Dbscan scaladoc): the grid
+    // path bounds pairs by occupied-cell geometry while hulls keep full
+    // point resolution. `--exact-hulls` opts into exact point-level
+    // labels for analytic runs that can afford the quadratic blobs.
     if (args.contains("--hulls")) {
-      val cfg = parseArgs(args.filterNot(_ == "--hulls"))
+      val exact = args.contains("--exact-hulls")
+      val cfg = parseArgs(args.filterNot(a =>
+        a == "--hulls" || a == "--exact-hulls"))
       val spark = session()
       val t0 = System.nanoTime()
       val feats = graft.operators.GeoPipeline
@@ -274,8 +281,11 @@ object Main {
           xxhash64(col("url"), col("name"), col("lon"), col("lat")).as("pid"),
           col("lon"), col("lat")).distinct()
         .localCheckpoint(true)
-      val hulls = graft.operators.Dbscan.clusterHulls(pts, "pid",
-        epsDeg = 3.0, minPts = 25, res = 2)
+      val hulls =
+        if (exact) graft.operators.Dbscan.clusterHulls(pts, "pid",
+          epsDeg = 3.0, minPts = 25, res = 2)
+        else graft.operators.Dbscan.clusterGridHulls(pts, "pid",
+          epsDeg = 3.0, minPts = 25, cellDeg = 0.5, res = 2)
       // dense non-negative ids for the MVT feature ids (cluster_id is a
       // min content hash — possibly negative, meaningless to a client)
       val w = org.apache.spark.sql.expressions.Window.orderBy("cluster_id")

@@ -180,29 +180,85 @@ object Dbscan {
 
   /** Hot-region polygons: the convex hull of every cluster's member
     * points (core + border; noise excluded) — what a tile layer
-    * displays on top of the point density. One join of labels back to
-    * coordinates, one cluster-keyed `mapGroups` running the pure
-    * monotone-chain kernel; hull size is bounded by the cluster's
-    * extremal points, so the output is registry-sized regardless of
-    * member count. Returns (cluster_id, n_pts, n_hull, area, wkt) —
-    * wkt a closed CCW `POLYGON ((…))` at 6 dp (LINESTRING for
+    * displays on top of the point density. Labels join back to
+    * coordinates, then the hull runs in TWO bounded stages:
+    *
+    *  1. partial hulls per (cluster_id, `preCellDeg`-degree coarse
+    *     cell) — the monotone-chain kernel over each cell's members;
+    *  2. the final hull per cluster over the UNION of partial-hull
+    *     vertices.
+    *
+    * Exactness: the strict-corner kernel keeps exactly the extreme
+    * points of its input, and an extreme point of the whole cluster is
+    * extreme in any subset containing it — so every global hull vertex
+    * survives stage 1, and hull(∪ partials) == hull(all members)
+    * bit-for-bit (DbscanSpec pins the property on random inputs). The
+    * payoff at scale: no task ever materializes a whole cluster — a
+    * percolated planetary cluster (10⁸+ members) reduces to per-cell
+    * vertex sets bounded by each cell's hull size, and stage 2 sees
+    * only those vertices. Returns (cluster_id, n_pts, n_hull, area,
+    * wkt) — wkt a closed CCW `POLYGON ((…))` at 6 dp (LINESTRING for
     * degenerate ≤2-point hulls), area the shoelace value rounded 6 dp.
     */
   def clusterHulls(points: DataFrame, idCol: String, epsDeg: Double,
-                   minPts: Int, res: Int = 1): DataFrame = {
-    val spark = points.sparkSession
-    import spark.implicits._
+                   minPts: Int, res: Int = 1,
+                   preCellDeg: Double = 15.0): DataFrame = {
     val labels = cluster(points, idCol, epsDeg, minPts, res)
       .filter(col("role") =!= "noise")
       .select(col(idCol).as("__id"), col("cluster_id"))
-    points.select(col(idCol).as("__id"), col("lon"), col("lat"))
+    hullsOfLabels(points, idCol, labels, preCellDeg)
+  }
+
+  /** [[clusterHulls]] with GRID (weighted) DBSCAN labeling — the
+    * dense-blob scale path for the hot-region product: labels come from
+    * [[clusterGrid]] (ε-pair set bounded by occupied-cell geometry, not
+    * Σ|blob|² point pairs), hulls still run over the actual member
+    * POINTS, so the polygons keep full point resolution even though the
+    * density labels are cell-resolution. On blob-shaped input this is
+    * the difference between minutes and seconds at 10⁵ points — and
+    * between feasible and intractable at 10⁸.
+    */
+  def clusterGridHulls(points: DataFrame, idCol: String, epsDeg: Double,
+                       minPts: Int, cellDeg: Double, res: Int = 1,
+                       preCellDeg: Double = 15.0): DataFrame = {
+    val labels = clusterGrid(points, idCol, epsDeg, minPts, cellDeg, res)
+      .filter(col("role") =!= "noise")
+      .select(col(idCol).as("__id"), col("cluster_id"))
+    hullsOfLabels(points, idCol, labels, preCellDeg)
+  }
+
+  /** Shared hull stage: coordinates × non-noise labels → one polygon per
+    * cluster via the partial-hull pre-reduce documented on
+    * [[clusterHulls]]. `labels` must be (__id, cluster_id).
+    */
+  private def hullsOfLabels(points: DataFrame, idCol: String,
+                            labels: DataFrame,
+                            preCellDeg: Double): DataFrame = {
+    require(preCellDeg > 0.0)
+    val spark = points.sparkSession
+    import spark.implicits._
+    val members = points.select(col(idCol).as("__id"), col("lon"), col("lat"))
       .join(labels, Seq("__id"))
-      .select(col("cluster_id"), col("lon"), col("lat"))
-      .as[(Long, Double, Double)]
+      .select(col("cluster_id"), col("lon"), col("lat"),
+        floor(col("lon") / lit(preCellDeg)).cast("long").as("__gx"),
+        floor(col("lat") / lit(preCellDeg)).cast("long").as("__gy"))
+      .as[(Long, Double, Double, Long, Long)]
+    // stage 1: per-(cluster, coarse-cell) partial hulls — each task holds
+    // one cell's members, never the cluster
+    val partials = members
+      .groupByKey(r => (r._1, r._4, r._5))
+      .mapGroups { (k, it) =>
+        val pts = it.map(p => (p._2, p._3)).toArray
+        (k._1, pts.length.toLong, graft.core.ConvexHull.hull(pts))
+      }
+    // stage 2: final hull over partial-hull VERTICES only
+    partials
       .groupByKey(_._1)
       .mapGroups { (cid, it) =>
-        val pts = it.map(p => (p._2, p._3)).toArray
-        val h = graft.core.ConvexHull.hull(pts)
+        var n = 0L
+        val vs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+        it.foreach { case (_, c, h) => n += c; vs ++= h }
+        val h = graft.core.ConvexHull.hull(vs.toArray)
         def fmt(p: (Double, Double)): String =
           String.format(java.util.Locale.ROOT, "%.6f %.6f",
             p._1.asInstanceOf[AnyRef], p._2.asInstanceOf[AnyRef])
@@ -212,7 +268,7 @@ object Dbscan {
           else h.map(fmt).mkString("LINESTRING (", ", ", ")")
         val area = BigDecimal.valueOf(graft.core.ConvexHull.area(h))
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        (cid, pts.length.toLong, h.length.toLong, area, wkt)
+        (cid, n, h.length.toLong, area, wkt)
       }
       .toDF("cluster_id", "n_pts", "n_hull", "area", "wkt")
   }

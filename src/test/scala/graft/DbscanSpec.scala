@@ -214,6 +214,68 @@ class DbscanSpec extends AnyFunSuite {
     }
   }
 
+  test("partial-hull pre-reduce is exact: hull(points) == hull(per-cell partial hulls); operator output invariant to preCellDeg") {
+    import graft.core.ConvexHull
+    // kernel property on random scattered sets: the global hull equals
+    // the hull of the union of per-cell hull vertices (extreme points
+    // survive every subset hull)
+    (0 until 10).foreach { t =>
+      val pts = Array.tabulate(120)(i =>
+        (math.sin(i * 0.7 + t) * 40 + (i % 7), math.cos(i * 1.3 + t) * 25 + (i % 5)))
+      val whole = ConvexHull.hull(pts)
+      val partials = pts.groupBy(p =>
+          (math.floor(p._1 / 10.0).toLong, math.floor(p._2 / 10.0).toLong))
+        .values.flatMap(cell => ConvexHull.hull(cell)).toArray
+      assert(ConvexHull.hull(partials).toSeq === whole.toSeq, s"t=$t")
+    }
+    // operator level: a degenerate one-cell pre-reduce (huge preCellDeg —
+    // the old single-mapGroups shape) and a fine pre-reduce produce
+    // byte-identical rows
+    import spark.implicits._
+    val df = pts(400).toDF("doc_id", "lon", "lat")
+    val coarse = graft.operators.Dbscan
+      .clusterHulls(df, "doc_id", 20.0, 8, res = 0, preCellDeg = 1e6)
+      .collect().map(_.toSeq).toSet
+    val fine = graft.operators.Dbscan
+      .clusterHulls(df, "doc_id", 20.0, 8, res = 0, preCellDeg = 7.0)
+      .collect().map(_.toSeq).toSet
+    assert(coarse === fine)
+  }
+
+  test("grid hulls ≈ exact hulls on blob-shaped input: same cluster count, bboxes within cell tolerance") {
+    import spark.implicits._
+    // 6 anchored blobs (the q103 shape at test scale): anchor grid 40°
+    // apart, jitter ±2° — far smaller than the 30°+ inter-blob gaps
+    val data = (0L until 600L).map { i =>
+      val b = i % 6
+      val lon = b.toDouble * 40.0 - 100.0 + ((i * 17) % 41).toDouble * 0.1 - 2.0
+      val lat = (b % 3).toDouble * 30.0 - 30.0 + ((i * 7) % 37).toDouble * 0.1 - 1.8
+      (i, lon, lat)
+    }
+    val df = data.toDF("doc_id", "lon", "lat")
+    val cell = 0.5
+    def bboxes(h: org.apache.spark.sql.DataFrame): Seq[(Double, Double, Double, Double)] =
+      h.collect().map { r =>
+        val coords = r.getString(4)
+          .replaceAll("POLYGON \\(\\(|LINESTRING \\(|\\)+", "")
+          .split(", ").map(_.split(" ").map(_.toDouble))
+        (coords.map(_(0)).min, coords.map(_(1)).min,
+          coords.map(_(0)).max, coords.map(_(1)).max)
+      }.sortBy(b => (b._1, b._2)).toSeq
+    val exact = bboxes(graft.operators.Dbscan
+      .clusterHulls(df, "doc_id", epsDeg = 5.0, minPts = 8, res = 1))
+    val grid = bboxes(graft.operators.Dbscan
+      .clusterGridHulls(df, "doc_id", epsDeg = 5.0, minPts = 8,
+        cellDeg = cell, res = 1))
+    assert(exact.length === 6 && grid.length === 6)
+    exact.zip(grid).foreach { case (e, g) =>
+      // grid labels are cell-resolution: an edge point can flip in/out,
+      // moving each bbox side by at most ~2 cells
+      Seq(e._1 - g._1, e._2 - g._2, e._3 - g._3, e._4 - g._4).foreach(d =>
+        assert(math.abs(d) <= 2 * cell + 1e-9, s"exact=$e grid=$g"))
+    }
+  }
+
   test("degenerate densities: minPts=1 makes every point a core; huge minPts makes all noise") {
     import spark.implicits._
     val df = pts(60).toDF("doc_id", "lon", "lat")
