@@ -214,7 +214,7 @@ object Main {
         .product[graft.sources.Page].schema
       val pages = spark.readStream.schema(pageSchema).parquet(watchDir)
       val sink = graft.plans.StreamCommit.cachedCommitter(
-        cfg.outDir, streamId = checkpoint)
+        cfg.outDir, streamId = checkpoint, cap = cfg.tileCap)
       val query = pages.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
           val tiles = tilesFor(spark, batch, cfg, resumeRoot = None,
@@ -398,9 +398,16 @@ object Main {
       val hasFeats = active.map(id => spark.read
         .parquet(s"$outDir/data/snap-$id").columns.contains("feats"))
       val isDelta = active.size >= 2 && hasFeats.exists(identity)
-      // honor a --config tileCap so the merged re-encode uses the same
-      // cap the stream committed with (defaults match GraftConfig)
-      val cap = parseArgs(args.filterNot(_ == "--compact")).tileCap
+      // the cap the stream committed with is AUTHORITATIVE: read it back
+      // from the manifest notes; an explicit --config must agree (the
+      // compactServingTiles require fails loudly on a mismatch instead
+      // of silently re-encoding truncated buffers at a different cap)
+      val recorded =
+        if (isDelta) graft.plans.Lineage.recordedTileCap(outDir) else None
+      val parsedCap = parseArgs(args.filterNot(_ == "--compact")).tileCap
+      val cap =
+        if (args.contains("--config")) parsedCap
+        else recorded.getOrElse(parsedCap)
       val compacted =
         if (isDelta) graft.plans.Lineage.compactServingTiles(spark, outDir, cap)
         else graft.plans.Lineage.compactSnapshots(spark, outDir)

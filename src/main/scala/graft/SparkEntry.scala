@@ -78,26 +78,84 @@ object SparkEntry {
       |  lon + 1.0 AS bx3, lat + 1.0 + (2.0 + (doc_id % 4)) AS by3
       |FROM pts WHERE doc_id % 2 = 1""".stripMargin
 
-  /** SQL twin of [[graft.operators.Overlay.triIntersects]] — the same
-    * separating-axis structure generated over coordinate column names,
-    * so the predicate text cannot drift from the Column version.
+  /** Two data-derived convex n-gon sets for the general overlay join
+    * (q105): even doc_ids anchor CCW PENTAGONS at (lon, lat) — a
+    * (2+id%5) × (2+id%7) rectangle with the top-left corner chamfered
+    * by 1 — and odd doc_ids anchor CCW HEXAGONS at (lon+1, lat+1) — a
+    * (2+id%6) × (2+id%4) rectangle chamfered at bottom-right AND
+    * top-left. Every offset is an exactly-representable double and the
+    * expression text is left-associated identically on both engines.
     */
-  private def triSatSql(a: Seq[(String, String)],
-                        b: Seq[(String, String)]): String = {
+  private def overlayPolygons(pts: DataFrame): (DataFrame, DataFrame) = {
+    val w5 = lit(2.0) + (col("doc_id") % 5).cast("double")
+    val h7 = lit(2.0) + (col("doc_id") % 7).cast("double")
+    val a = pts.filter(col("doc_id") % 2 === 0).select(
+      col("doc_id").as("a_id"),
+      col("lon").as("ax1"), col("lat").as("ay1"),
+      (col("lon") + w5).as("ax2"), col("lat").as("ay2"),
+      (col("lon") + w5).as("ax3"), (col("lat") + h7).as("ay3"),
+      (col("lon") + lit(1.0)).as("ax4"), (col("lat") + h7).as("ay4"),
+      col("lon").as("ax5"), (col("lat") + h7 - lit(1.0)).as("ay5"))
+    val w6 = lit(2.0) + (col("doc_id") % 6).cast("double")
+    val h4 = lit(2.0) + (col("doc_id") % 4).cast("double")
+    val bx = col("lon") + lit(1.0)
+    val by = col("lat") + lit(1.0)
+    val b = pts.filter(col("doc_id") % 2 === 1).select(
+      col("doc_id").as("b_id"),
+      bx.as("bx1"), by.as("by1"),
+      (bx + w6 - lit(1.0)).as("bx2"), by.as("by2"),
+      (bx + w6).as("bx3"), (by + lit(1.0)).as("by3"),
+      (bx + w6).as("bx4"), (by + h4).as("by4"),
+      (bx + lit(1.0)).as("bx5"), (by + h4).as("by5"),
+      bx.as("bx6"), (by + h4 - lit(1.0)).as("by6"))
+    (a, b)
+  }
+
+  private val overlayPolygonsSqlA =
+    """SELECT doc_id AS a_id, lon AS ax1, lat AS ay1,
+      |  lon + (2.0 + (doc_id % 5)) AS ax2, lat AS ay2,
+      |  lon + (2.0 + (doc_id % 5)) AS ax3, lat + (2.0 + (doc_id % 7)) AS ay3,
+      |  lon + 1.0 AS ax4, lat + (2.0 + (doc_id % 7)) AS ay4,
+      |  lon AS ax5, lat + (2.0 + (doc_id % 7)) - 1.0 AS ay5
+      |FROM pts WHERE doc_id % 2 = 0""".stripMargin
+  private val overlayPolygonsSqlB =
+    """SELECT doc_id AS b_id,
+      |  lon + 1.0 AS bx1, lat + 1.0 AS by1,
+      |  lon + 1.0 + (2.0 + (doc_id % 6)) - 1.0 AS bx2, lat + 1.0 AS by2,
+      |  lon + 1.0 + (2.0 + (doc_id % 6)) AS bx3, lat + 1.0 + 1.0 AS by3,
+      |  lon + 1.0 + (2.0 + (doc_id % 6)) AS bx4, lat + 1.0 + (2.0 + (doc_id % 4)) AS by4,
+      |  lon + 1.0 + 1.0 AS bx5, lat + 1.0 + (2.0 + (doc_id % 4)) AS by5,
+      |  lon + 1.0 AS bx6, lat + 1.0 + (2.0 + (doc_id % 4)) - 1.0 AS by6
+      |FROM pts WHERE doc_id % 2 = 1""".stripMargin
+
+  /** SQL twin of [[graft.operators.Overlay.convexIntersects]] — the
+    * same separating-axis structure generated over coordinate column
+    * names, so the predicate text cannot drift from the Column version.
+    * The interior-side reference is the left-associated SUM of the
+    * polygon's own vertex orientations (edge endpoints contribute exact
+    * FP zeros), matching the Column reduce order term for term.
+    */
+  private def convexSatSql(a: Seq[(String, String)],
+                           b: Seq[(String, String)]): String = {
     def orient(p: (String, String), q: (String, String),
                r: (String, String)): String =
       s"((${q._1} - ${p._1}) * (${r._2} - ${p._2}) - " +
         s"(${q._2} - ${p._2}) * (${r._1} - ${p._1}))"
     def sep(t: Seq[(String, String)], o: Seq[(String, String)]): String =
-      (0 until 3).map { i =>
-        val (p, q, r) = (t(i), t((i + 1) % 3), t((i + 2) % 3))
-        val os = orient(p, q, r)
+      t.indices.map { i =>
+        val (p, q) = (t(i), t((i + 1) % t.size))
+        val os = t.map(v => orient(p, q, v)).mkString("(", " + ", ")")
         val ov = o.map(v => orient(p, q, v))
         s"(($os > 0 AND ${ov.map(_ + " < 0").mkString(" AND ")}) OR " +
           s"($os < 0 AND ${ov.map(_ + " > 0").mkString(" AND ")}))"
       }.mkString(" OR ")
     s"NOT ((${sep(a, b)}) OR (${sep(b, a)}))"
   }
+
+  /** The n = 3 instance of [[convexSatSql]] (kept as the q98 twin). */
+  private def triSatSql(a: Seq[(String, String)],
+                        b: Seq[(String, String)]): String =
+    convexSatSql(a, b)
 
   /** Flagship: end-to-end geoparse → cell encode → tile pipeline on a
     * small synthetic page table.
@@ -950,6 +1008,46 @@ object SparkEntry {
       graft.operators.Dbscan.clusterHulls(pts, "doc_id",
         epsDeg = 5.0, minPts = 8, res = 1)
     }),
+    // ---- hot-region polygons on the SCALE path: grid (weighted)
+    //      DBSCAN labels + full-point-resolution hulls — the product
+    //      default of Main --hulls, over the same 8-blob input as q103
+    //      (cellDeg ≪ ε keeps cell-resolution labels near-exact) ----
+    "q106_grid_hulls" -> ((s, dir) => {
+      val pts = derivedPoints(s, dir).select(col("doc_id"),
+        ((col("doc_id") % 8).cast("double") * lit(45.0) - lit(157.5)
+          + col("lon") * lit(0.05)).as("lon"),
+        ((col("doc_id") % 8).cast("double") * lit(20.0) - lit(70.0)
+          + col("lat") * lit(0.05)).as("lat"))
+      graft.operators.Dbscan.clusterGridHulls(pts, "doc_id",
+        epsDeg = 5.0, minPts = 8, cellDeg = 0.25, res = 1)
+    }),
+    // ---- geometry the engine itself PRODUCES joined against the admin
+    //      registry: grid-DBSCAN hull polygons × the oracle triangles
+    //      through the convex overlay join — hull WKT parsed to the
+    //      padded fixed-width layout by pure column arithmetic ----
+    "q107_hull_admin_overlay" -> ((s, dir) => {
+      val pts = derivedPoints(s, dir).select(col("doc_id"),
+        ((col("doc_id") % 8).cast("double") * lit(45.0) - lit(157.5)
+          + col("lon") * lit(0.05)).as("lon"),
+        ((col("doc_id") % 8).cast("double") * lit(20.0) - lit(70.0)
+          + col("lat") * lit(0.05)).as("lat"))
+      val hulls = graft.operators.Dbscan.clusterGridHulls(pts, "doc_id",
+        epsDeg = 5.0, minPts = 8, cellDeg = 0.25, res = 1)
+      val a = graft.operators.Overlay.wktConvexCols(
+        hulls.select(col("cluster_id").as("a_id"), col("wkt")),
+        "a_id", "wkt", maxN = 24, prefix = "a")
+      import s.implicits._
+      val b = graft.sources.PolyRegistry.oracleTriangles.map { p =>
+        (p.adminId, p.xs(0), p.ys(0), p.xs(1), p.ys(1), p.xs(2), p.ys(2))
+      }.toDF("b_id", "bx1", "by1", "bx2", "by2", "bx3", "by3")
+      // validate=false on purpose: hull WKT re-quantizes vertices to
+      // 6 dp, which can turn a strict-but-tiny convex turn collinear or
+      // faintly negative; the SAT stays a deterministic closed-
+      // intersection test on the perturbed ring
+      graft.operators.Overlay.convexIntersectsJoin(a, b, nA = 24, nB = 3,
+          cellDeg = 45.0, validate = false)
+        .select(col("a_id").as("cluster_id"), col("b_id").as("admin_id"))
+    }),
     // ---- exact DBSCAN density clustering: ε-pairs via cell-ring
     //      candidates → core-point count agg → connected components
     //      over core-core edges → min-cluster border assign; the
@@ -997,6 +1095,17 @@ object SparkEntry {
     "q98_tri_overlay" -> ((s, dir) => {
       val (a, b) = overlayTriangles(derivedPoints(s, dir))
       graft.operators.Overlay.triangleIntersectsJoin(a, b, cellDeg = 8.0)
+        .select(col("a_id"), col("b_id"))
+    }),
+    // ---- convex n-gon overlay (intersects join): pentagons × hexagons
+    //      through the SAME bbox-cover + reference-point-dedup + SAT
+    //      machinery as q98, with the interior side taken from the
+    //      orientation SUM (the generalization that also makes padded
+    //      fixed-width vertex layouts safe); convexity guard on ----
+    "q105_convex_overlay" -> ((s, dir) => {
+      val (a, b) = overlayPolygons(derivedPoints(s, dir))
+      graft.operators.Overlay.convexIntersectsJoin(a, b, nA = 5, nB = 6,
+          cellDeg = 8.0)
         .select(col("a_id"), col("b_id"))
     }),
     // ---- site-level boilerplate removal (RefinedWeb's repeated-line
@@ -1872,7 +1981,7 @@ object SparkEntry {
         |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
         |      + CAST(0.85 AS DOUBLE) * (CAST(coalesce(s.inc, 0) AS DOUBLE) / 1e15) AS pr
         |  FROM nodes CROSS JOIN nn LEFT JOIN (
-        |    SELECT e.dst AS node, sum(CAST(round(p.pr / od.outdeg * 1e15) AS BIGINT)) AS inc
+        |    SELECT e.dst AS node, sum(CAST(floor(p.pr / od.outdeg * 1e15 + 0.5) AS BIGINT)) AS inc
         |    FROM e JOIN p0 p ON e.src = p.node JOIN od ON od.src = e.src
         |    GROUP BY e.dst) s ON s.node = nodes.node),
         |p2 AS MATERIALIZED (
@@ -1880,7 +1989,7 @@ object SparkEntry {
         |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
         |      + CAST(0.85 AS DOUBLE) * (CAST(coalesce(s.inc, 0) AS DOUBLE) / 1e15) AS pr
         |  FROM nodes CROSS JOIN nn LEFT JOIN (
-        |    SELECT e.dst AS node, sum(CAST(round(p.pr / od.outdeg * 1e15) AS BIGINT)) AS inc
+        |    SELECT e.dst AS node, sum(CAST(floor(p.pr / od.outdeg * 1e15 + 0.5) AS BIGINT)) AS inc
         |    FROM e JOIN p1 p ON e.src = p.node JOIN od ON od.src = e.src
         |    GROUP BY e.dst) s ON s.node = nodes.node),
         |p3 AS MATERIALIZED (
@@ -1888,7 +1997,7 @@ object SparkEntry {
         |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
         |      + CAST(0.85 AS DOUBLE) * (CAST(coalesce(s.inc, 0) AS DOUBLE) / 1e15) AS pr
         |  FROM nodes CROSS JOIN nn LEFT JOIN (
-        |    SELECT e.dst AS node, sum(CAST(round(p.pr / od.outdeg * 1e15) AS BIGINT)) AS inc
+        |    SELECT e.dst AS node, sum(CAST(floor(p.pr / od.outdeg * 1e15 + 0.5) AS BIGINT)) AS inc
         |    FROM e JOIN p2 p ON e.src = p.node JOIN od ON od.src = e.src
         |    GROUP BY e.dst) s ON s.node = nodes.node)
         |SELECT node, round(pr, 6) AS pagerank FROM p3""".stripMargin,
@@ -2268,6 +2377,17 @@ object SparkEntry {
         |b AS MATERIALIZED ($overlayTrianglesSqlB)
         |SELECT a_id, b_id FROM a CROSS JOIN b
         |WHERE ${triSatSql(av, bv)}""".stripMargin
+    },
+    "q105_convex_overlay" -> {
+      val av = (1 to 5).map(i => (s"ax$i", s"ay$i"))
+      val bv = (1 to 6).map(i => (s"bx$i", s"by$i"))
+      // same brute-force replay over the pentagon/hexagon vertex tables,
+      // predicate generated by the SAME template as the Column version
+      s"""WITH pts AS ($derivedPointsSql),
+        |a AS MATERIALIZED ($overlayPolygonsSqlA),
+        |b AS MATERIALIZED ($overlayPolygonsSqlB)
+        |SELECT a_id, b_id FROM a CROSS JOIN b
+        |WHERE ${convexSatSql(av, bv)}""".stripMargin
     },
     "q94_dwithin" ->
       // brute-force replay of the distance band: identical d2 formula

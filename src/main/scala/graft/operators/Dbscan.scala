@@ -47,33 +47,36 @@ object Dbscan {
   /** ST-DBSCAN (Birant & Kut 2007): `timeEps = Some((tCol, εt))` adds
     * the temporal reachability predicate |t_q − t_p| ≤ εt (closed, the
     * spatial convention) — two events cluster only when close in space
-    * AND time. The time filter rides the SAME candidate pairs (ids join
-    * back to the 8-byte time column once); everything downstream —
-    * core counts, components, border assign — is unchanged.
+    * AND time. The 8-byte time column rides BOTH SIDES of the one cell
+    * equi join (`withinRadius` carry columns), so the temporal filter
+    * applies in the same stage as the distance filter — no join-back of
+    * the pair set; everything downstream — core counts, components,
+    * border assign — is unchanged.
     */
   def clusterST(points: DataFrame, idCol: String, epsDeg: Double,
                 minPts: Int, res: Int,
                 timeEps: Option[(String, Double)]): DataFrame = {
     require(minPts >= 1)
-    val qs = points.select(col(idCol).as("q_id"), col("lon").as("q_lon"),
-      col("lat").as("q_lat"))
-    val ps = points.select(col(idCol).as("p_id"), col("lon"), col("lat"))
-    val spatial = KnnJoin.withinRadius(qs, ps, epsDeg, res)
-      .select("q_id", "p_id")
+    val timed = timeEps.isDefined
+    val qs = points.select(
+      Seq(col(idCol).as("q_id"), col("lon").as("q_lon"),
+        col("lat").as("q_lat")) ++
+        timeEps.map { case (tCol, _) =>
+          col(tCol).cast("double").as("__tq") }: _*)
+    val ps = points.select(
+      Seq(col(idCol).as("p_id"), col("lon"), col("lat")) ++
+        timeEps.map { case (tCol, _) =>
+          col(tCol).cast("double").as("__tp") }: _*)
+    val spatial = KnnJoin.withinRadius(qs, ps, epsDeg, res,
+      carry = if (timed) Seq("__tq", "__tp") else Nil)
     // all ordered (q, p) pairs with dist ≤ ε (∧ |Δt| ≤ εt), self
     // included — consumed by the count, the core-edge builder, and the
     // border assign
     val pairs = (timeEps match {
-      case None => spatial
-      case Some((tCol, et)) =>
+      case None => spatial.select("q_id", "p_id")
+      case Some((_, et)) =>
         require(et >= 0.0)
-        val ts = points.select(col(idCol), col(tCol).cast("double"))
-        spatial
-          .join(ts.select(col(idCol).as("q_id"), col(tCol).as("__tq")),
-            Seq("q_id"))
-          .join(ts.select(col(idCol).as("p_id"), col(tCol).as("__tp")),
-            Seq("p_id"))
-          .filter(abs(col("__tq") - col("__tp")) <= lit(et))
+        spatial.filter(abs(col("__tq") - col("__tp")) <= lit(et))
           .select("q_id", "p_id")
     }).localCheckpoint(true)
     val cores = pairs.groupBy("q_id").agg(count(lit(1)).as("__n"))

@@ -76,24 +76,63 @@ object KnnJoin {
     val qsWithR = qs.join(bounds, Seq("q_id"), "left")
     val filled = qsWithR.filter(col("__radius").isNotNull)
       .withColumn("__rings", ceil(col("__radius") / inradius).cast("int") + lit(1))
+      .select("q_id", "q_lon", "q_lat", "__qcell", "__rings")
+
     // queries whose probe neighborhood held < k points (sparse regions —
-    // rare at planetary density): exact brute-force branch, no silent cap
-    val sparse = qsWithR.filter(col("__radius").isNull)
+    // rare at planetary density): RING-DOUBLING re-probe — 2×, 4×, …
+    // rings until ≥ k candidates are found, then the normal phase-2
+    // guarantee. Geometry stays exact and every step is the same cell
+    // equi join (never a nested-loop cross join, even when EVERY query
+    // is sparse under a pathological res choice). The loop is bounded
+    // by log₂(worldRings): once rings cover the whole domain the probe
+    // candidates ARE all points, which is exact for datasets holding
+    // fewer than k points in total.
+    val worldRings = math.ceil(
+      math.sqrt(360.0 * 360.0 + 180.0 * 180.0) / inradius).toInt + 1
+    var sparseQ = qsWithR.filter(col("__radius").isNull)
+      .select("q_id", "q_lon", "q_lat", "__qcell")
+      .localCheckpoint(true)
+    var rings = probeRings
+    val graduated = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var leftover: DataFrame = null // total-coverage candidates (< k points)
+    while (leftover == null && sparseQ.head(1).nonEmpty) {
+      rings = math.min(rings.toLong * 2L, worldRings.toLong).toInt
+      val reprobe = sparseQ
+        .withColumn("__cell", explode(hex_kring(col("__qcell"), lit(rings))))
+        .join(pts, col("__cell") === col("__pcell"))
+        .withColumn("__d2", d2(col("q_lon"), col("q_lat"), col("lon"), col("lat")))
+      if (rings >= worldRings) {
+        leftover = reprobe.select(col("q_id"), col("p_id"),
+          col("__d2").as("dist2"))
+      } else {
+        val grads = reprobe
+          .withColumn("__rn", row_number().over(wq))
+          .filter(col("__rn") <= k)
+          .groupBy("q_id")
+          .agg(max(col("__d2")).as("__dk"), count(lit(1)).as("__found"))
+          .filter(col("__found") >= k)
+          .select(col("q_id"),
+            (ceil(sqrt(col("__dk")) / inradius).cast("int") + lit(1))
+              .as("__rings"))
+          .localCheckpoint(true)
+        graduated += sparseQ.join(grads, Seq("q_id"))
+          .select("q_id", "q_lon", "q_lat", "__qcell", "__rings")
+        sparseQ = sparseQ
+          .join(grads.select("q_id"), Seq("q_id"), "left_anti")
+          .localCheckpoint(true)
+      }
+    }
 
     // ---- phase 2: guaranteed-coverage join + exact top-k
-    val cand = filled
+    val expand = graduated.foldLeft(filled)(_ unionByName _)
+    val cand = expand
       .withColumn("__cell", explode(hex_kring(col("__qcell"), col("__rings"))))
       .join(pts, col("__cell") === col("__pcell"))
       .withColumn("dist2", d2(col("q_lon"), col("q_lat"), col("lon"), col("lat")))
       .select("q_id", "p_id", "dist2")
-    val candSparse = sparse
-      .select("q_id", "q_lon", "q_lat")
-      .crossJoin(pts)
-      .withColumn("dist2", d2(col("q_lon"), col("q_lat"), col("lon"), col("lat")))
-      .select("q_id", "p_id", "dist2")
     val w = Window.partitionBy("q_id")
       .orderBy(col("dist2").asc, col("p_id").asc)
-    cand.unionByName(candSparse)
+    (if (leftover == null) cand else cand.unionByName(leftover))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("p_id"), round(col("dist2"), 9).as("dist2"), col("rank"))
@@ -109,10 +148,15 @@ object KnnJoin {
     * distinct pass is needed. Fan-out is O(rings²) cells per query:
     * pick `res` so the cell inradius is near `radiusDeg` and rings
     * stays ~2. Hot cells fall under AQE skew handling like any hash
-    * join. Returns (q_id, p_id, dist2).
+    * join. Returns (q_id, p_id, dist2) plus any `carry` columns — extra
+    * per-side attributes (e.g. an event-time column on each side) that
+    * ride the ONE cell equi join instead of being joined back to the
+    * pair set afterwards (each such join-back is a full shuffle of the
+    * pair set at scale).
     */
   def withinRadius(queries: DataFrame, points: DataFrame,
-                   radiusDeg: Double, res: Int = 4): DataFrame = {
+                   radiusDeg: Double, res: Int = 4,
+                   carry: Seq[String] = Nil): DataFrame = {
     require(radiusDeg > 0.0)
     val inradius = HexGrid.radius(res) * math.sqrt(3.0) / 2.0
     val rings = math.ceil(radiusDeg / inradius).toInt + 1
@@ -125,6 +169,7 @@ object KnnJoin {
       .withColumn("dist2",
         d2(col("q_lon"), col("q_lat"), col("lon"), col("lat")))
       .filter(col("dist2") <= lit(radiusDeg) * lit(radiusDeg))
-      .select(col("q_id"), col("p_id"), round(col("dist2"), 9).as("dist2"))
+      .select(col("q_id") +: col("p_id") +:
+        round(col("dist2"), 9).as("dist2") +: carry.map(col): _*)
   }
 }

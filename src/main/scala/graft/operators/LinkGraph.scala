@@ -50,8 +50,13 @@ object LinkGraph {
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
         .join(outdeg, Seq("src"))
         .select(col("dst").as("node"),
-          // exact integer grid → the long sum is order-insensitive
-          round((col("pr") / col("outdeg")) * lit(1e15)).cast("long").as("c"))
+          // exact integer grid → the long sum is order-insensitive;
+          // floor(x+0.5) NOT round(): Spark rounds the shortest-decimal
+          // string while DuckDB rounds the binary double, which can flip
+          // one grid unit per engine on a .5-straddling contribution and
+          // amplify across iterations (the q96/q97 surface discipline)
+          floor((col("pr") / col("outdeg")) * lit(1e15) + lit(0.5))
+            .cast("long").as("c"))
         .groupBy("node").agg(sum(col("c")).as("in"))
       pr = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),

@@ -33,21 +33,32 @@ object Overlay {
                      rx: Column, ry: Column): Column =
     (qx - px) * (ry - py) - (qy - py) * (rx - px)
 
-  /** Exact closed-intersection test for two triangles given as 12
-    * coordinate columns. Separated iff some edge of either triangle has
-    * ALL vertices of the other strictly on the opposite side from its
-    * own third vertex; intersecting = not separated. Degenerate
-    * (zero-area) triangles never separate anything (orientation sign 0)
-    * — callers supply non-degenerate geometry.
+  /** Exact closed-intersection test for two CONVEX polygons given as
+    * vertex-coordinate column pairs (any ring orientation). Separated
+    * iff some edge of either polygon has ALL vertices of the other
+    * strictly on the opposite side from the polygon's own interior;
+    * intersecting = not separated (touching at a point or edge counts).
+    *
+    * The interior side of edge (p, q) is the SIGN OF THE SUM of
+    * orientations over the polygon's own vertices: for a convex ring
+    * every non-edge vertex lies on one side, so the sum carries that
+    * sign exactly (the edge's own endpoints contribute exact FP zeros).
+    * For triangles this reduces to the classic third-vertex test. The
+    * sum also makes PADDING safe: a repeated vertex forms a degenerate
+    * edge whose sum is 0, which claims no separation — so fixed-width
+    * joins can pad shorter rings by repeating the last vertex.
+    * Degenerate (zero-area) polygons never separate anything; callers
+    * supply CONVEX, non-degenerate geometry ([[isConvex]] guards).
     */
-  def triIntersects(a: Seq[(Column, Column)], b: Seq[(Column, Column)]): Column = {
-    require(a.size == 3 && b.size == 3)
-    def separates(tri: Seq[(Column, Column)], other: Seq[(Column, Column)]): Column = {
-      (0 until 3).map { i =>
-        val (px, py) = tri(i)
-        val (qx, qy) = tri((i + 1) % 3)
-        val (rx, ry) = tri((i + 2) % 3)
-        val oSelf = orient(px, py, qx, qy, rx, ry)
+  def convexIntersects(a: Seq[(Column, Column)], b: Seq[(Column, Column)]): Column = {
+    require(a.size >= 3 && b.size >= 3)
+    def separates(poly: Seq[(Column, Column)], other: Seq[(Column, Column)]): Column = {
+      val n = poly.size
+      (0 until n).map { i =>
+        val (px, py) = poly(i)
+        val (qx, qy) = poly((i + 1) % n)
+        val oSelf = poly.map { case (vx, vy) =>
+          orient(px, py, qx, qy, vx, vy) }.reduce(_ + _)
         val oth = other.map { case (vx, vy) => orient(px, py, qx, qy, vx, vy) }
         (oSelf > 0 && oth.map(_ < 0).reduce(_ && _)) ||
           (oSelf < 0 && oth.map(_ > 0).reduce(_ && _))
@@ -56,17 +67,58 @@ object Overlay {
     !(separates(a, b) || separates(b, a))
   }
 
-  /** All intersecting (a_id, b_id) triangle pairs. Inputs:
-    * `as`(idA, ax1..ay3), `bs`(idB, bx1..by3) with the given column
-    * names; `cellDeg` sizes the candidate grid (≈ the median bbox
-    * extent). Returns (idA, idB) exactly once per intersecting pair.
+  /** Exact closed-intersection test for two triangles — the n = 3 case
+    * of [[convexIntersects]] (the orientation sum collapses to the
+    * third-vertex orientation, exactly).
     */
-  def triangleIntersectsJoin(as: DataFrame, bs: DataFrame,
-                             cellDeg: Double): DataFrame = {
-    require(cellDeg > 0.0)
-    def cover(df: DataFrame, p: String): DataFrame = {
-      val xs = Seq(col(s"${p}x1"), col(s"${p}x2"), col(s"${p}x3"))
-      val ys = Seq(col(s"${p}y1"), col(s"${p}y2"), col(s"${p}y3"))
+  def triIntersects(a: Seq[(Column, Column)], b: Seq[(Column, Column)]): Column = {
+    require(a.size == 3 && b.size == 3)
+    convexIntersects(a, b)
+  }
+
+  /** Convexity (and padding) guard for [[convexIntersects]] input: true
+    * iff consecutive-edge turns never change sign (collinear and
+    * repeated — padded — vertices allowed). Non-convex rings would make
+    * the SAT silently under-report separations.
+    */
+  def isConvex(vs: Seq[(Column, Column)]): Column = {
+    val n = vs.size
+    val turns = (0 until n).map { i =>
+      val (px, py) = vs(i)
+      val (qx, qy) = vs((i + 1) % n)
+      val (rx, ry) = vs((i + 2) % n)
+      orient(px, py, qx, qy, rx, ry)
+    }
+    !(turns.map(_ > 0).reduce(_ || _) && turns.map(_ < 0).reduce(_ || _))
+  }
+
+  /** All intersecting (a_id, b_id) convex-polygon pairs. Inputs:
+    * `as`(idA, ax1..ax{nA}, ay1..ay{nA}), `bs`(idB, bx1..bx{nB},
+    * by1..by{nB}) — fixed vertex widths per side; rings with fewer
+    * genuine vertices pad by REPEATING the last vertex (safe, see
+    * [[convexIntersects]]). `cellDeg` sizes the candidate grid (≈ the
+    * median bbox extent). `validate` (default on) raises on a
+    * non-convex ring instead of silently under-reporting separations —
+    * one codegen'd predicate per row, negligible beside the SAT.
+    * Returns (idA, idB) exactly once per intersecting pair.
+    */
+  def convexIntersectsJoin(as: DataFrame, bs: DataFrame, nA: Int, nB: Int,
+                           cellDeg: Double,
+                           validate: Boolean = true): DataFrame = {
+    require(cellDeg > 0.0 && nA >= 3 && nB >= 3)
+    def verts(p: String, n: Int): Seq[(Column, Column)] =
+      (1 to n).map(i => (col(s"${p}x$i"), col(s"${p}y$i")))
+    def cover(df0: DataFrame, p: String, n: Int): DataFrame = {
+      // filter(assert_true(...).isNull) keeps every row (assert_true
+      // yields NULL when the predicate holds) but cannot be pruned away
+      // like an unused projected column would be
+      val df =
+        if (!validate) df0
+        else df0.filter(assert_true(isConvex(verts(p, n)),
+          lit(s"non-convex $p-side ring: the SAT contract requires " +
+            "convex (optionally pad-repeated) vertices")).isNull)
+      val xs = (1 to n).map(i => col(s"${p}x$i"))
+      val ys = (1 to n).map(i => col(s"${p}y$i"))
       df.withColumn(s"__${p}cx0",
           floor(least(xs: _*) / lit(cellDeg)).cast("long"))
         .withColumn(s"__${p}cx1",
@@ -81,17 +133,50 @@ object Overlay {
           explode(sequence(col(s"__${p}cy0"), col(s"__${p}cy1"))))
         .drop(s"__${p}cx1", s"__${p}cy1")
     }
-    val av = Seq((col("ax1"), col("ay1")), (col("ax2"), col("ay2")),
-      (col("ax3"), col("ay3")))
-    val bv = Seq((col("bx1"), col("by1")), (col("bx2"), col("by2")),
-      (col("bx3"), col("by3")))
-    cover(as, "a")
-      .join(cover(bs, "b"), Seq("__cx", "__cy"))
+    val dropCols = Seq("__cx", "__cy", "__acx0", "__acy0", "__bcx0", "__bcy0")
+    cover(as, "a", nA)
+      .join(cover(bs, "b", nB), Seq("__cx", "__cy"))
       // reference-point dedup: evaluate the pair ONLY in the cell of the
       // max bbox-min corner (shared by both covers iff bboxes overlap)
       .filter(col("__cx") === greatest(col("__acx0"), col("__bcx0")) &&
         col("__cy") === greatest(col("__acy0"), col("__bcy0")))
-      .filter(triIntersects(av, bv))
-      .drop("__cx", "__cy", "__acx0", "__acy0", "__bcx0", "__bcy0")
+      .filter(convexIntersects(verts("a", nA), verts("b", nB)))
+      .drop(dropCols: _*)
+  }
+
+  /** All intersecting (a_id, b_id) triangle pairs — the nA = nB = 3
+    * case of [[convexIntersectsJoin]] (validation off: the triangle
+    * callers predate the guard and 3-rings are convex by construction).
+    */
+  def triangleIntersectsJoin(as: DataFrame, bs: DataFrame,
+                             cellDeg: Double): DataFrame =
+    convexIntersectsJoin(as, bs, nA = 3, nB = 3, cellDeg, validate = false)
+
+  /** Bridge from this engine's hull WKT (`POLYGON ((x y, …, x0 y0))`,
+    * closing vertex repeated — [[Dbscan.clusterHulls]] output) to the
+    * fixed-width padded vertex layout of [[convexIntersectsJoin]]:
+    * columns `<prefix>x1..<prefix>x{maxN}` / `<prefix>y…`, short rings
+    * padded by repeating the last vertex. Pure column arithmetic — the
+    * parse stays codegen'd and distributed. Non-POLYGON rows
+    * (degenerate ≤2-point hulls) are dropped; a ring wider than `maxN`
+    * raises (fail-fast — silently truncating vertices would silently
+    * shrink the polygon).
+    */
+  def wktConvexCols(df: DataFrame, idCol: String, wktCol: String,
+                    maxN: Int, prefix: String): DataFrame = {
+    require(maxN >= 3)
+    val ring = expr(
+      s"slice(split(regexp_replace($wktCol, '^POLYGON \\\\(\\\\(|\\\\)\\\\)$$', ''), ', '), " +
+        s"1, size(split(regexp_replace($wktCol, '^POLYGON \\\\(\\\\(|\\\\)\\\\)$$', ''), ', ')) - 1)")
+    val base = df.filter(col(wktCol).startsWith("POLYGON"))
+      .withColumn("__ring", ring)
+      .filter(assert_true(size(col("__ring")) <= maxN,
+        lit(s"hull ring wider than maxN=$maxN vertices — raise maxN")).isNull)
+    val cols = col(idCol) +: (1 to maxN).flatMap { i =>
+      val v = split(element_at(col("__ring"), least(lit(i), size(col("__ring")))), " ")
+      Seq(v.getItem(0).cast("double").as(s"${prefix}x$i"),
+        v.getItem(1).cast("double").as(s"${prefix}y$i"))
+    }
+    base.select(cols: _*)
   }
 }

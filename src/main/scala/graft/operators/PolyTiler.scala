@@ -148,7 +148,7 @@ object PolyTiler {
         }
       }
       .groupByKey(_._1)
-      .mapGroups { (tileId, it) =>
+      .flatMapGroups { (tileId, it) =>
         val z = WebMercator.tileIdZoom(tileId)
         val tx = WebMercator.tileIdX(tileId)
         val ty = WebMercator.tileIdY(tileId)
@@ -175,10 +175,15 @@ object PolyTiler {
               rings, Seq("geom_id" -> MvtEncoder.IVal(id))))
           }
         }
-        val bytes =
-          if (feats.isEmpty) Array.empty[Byte]
-          else MvtEncoder.encodeTile(Seq(layer -> feats), ext)
-        TileRow(z, tx, ty, feats.length, bytes)
+        // a bbox cover over-approximates the polygon (e.g. tile squares
+        // at a convex hull's bbox corners): groups whose every candidate
+        // clips to empty emit NOTHING — zero-feature rows with empty
+        // mvt_bytes would bloat the serving table with tiles the point
+        // tiler never writes
+        if (feats.isEmpty) Iterator.empty
+        else Iterator.single(
+          TileRow(z, tx, ty, feats.length,
+            MvtEncoder.encodeTile(Seq(layer -> feats), ext)))
       }
   }
 

@@ -116,10 +116,18 @@ object Lineage {
         s"snapshot(s) ${lean.mkString(",")} hold lean tiles" +
         (if (lean.size == active.size) " — use compactSnapshots"
          else " — this root mixes lean and delta writers"))
+    // the stream recorded its tileCap in the manifest note: re-encoding
+    // at any OTHER cap silently produces serving bytes matching no batch
+    // run at either cap (buffers were truncated at the recorded cap)
+    val recorded = recordedTileCap(root)
+    require(recorded.forall(_ == cap),
+      s"this delta root committed tiles at tileCap=${recorded.get} but the " +
+        s"compaction was asked to re-encode at $cap — pass cap=${recorded.get}")
     val merged = graft.operators.Tiler.withStats(
       graft.operators.Tiler.mergeTiles(activeTable(spark, root), cap, layerName)
         .toDF())
-    Some(commit(merged, root, note, replaces = active))
+    // carry the cap forward so stream→compact→stream cycles keep deriving it
+    Some(commit(merged, root, s"$note cap=$cap", replaces = active))
   }
 
   /** Range-cluster the table: rewrite active snapshots ordered by
@@ -193,6 +201,24 @@ object Lineage {
     activeSnapshots(root).exists(id =>
       manifestNote(root, id).exists(_.startsWith("stream=")))
 
+  /** The tileCap the root's active snapshots were encoded with, read
+    * back from manifest notes (` cap=N`, written by streamed commits
+    * and serving compactions). None when no note records one; throws on
+    * a root whose snapshots record DIFFERENT caps — per-batch feature
+    * buffers were already truncated at their cap, so no single
+    * re-encode can be byte-faithful to all of them.
+    */
+  def recordedTileCap(root: String): Option[Int] = {
+    val caps = activeSnapshots(root)
+      .flatMap(id => manifestNote(root, id))
+      .flatMap(n => """ cap=(\d+)""".r.findFirstMatchIn(n).map(_.group(1).toInt))
+      .distinct
+    require(caps.size <= 1,
+      s"active snapshots record conflicting tileCaps ${caps.sorted.mkString(",")} " +
+        s"under $root — compact per-writer roots separately")
+    caps.headOption
+  }
+
   /** Time travel: the table as of snapshot `asOf` — every snapshot
     * committed up to that id, minus those replaced by a compaction that
     * had itself committed by `asOf` (a later compaction doesn't rewrite
@@ -261,16 +287,20 @@ object Lineage {
     for (kind <- Seq("data", "metrics")) {
       val dir = Paths.get(root, kind)
       if (Files.isDirectory(dir)) {
-        val it = Files.list(dir).iterator()
-        while (it.hasNext) {
-          val p = it.next()
-          val name = p.getFileName.toString
-          if (name.startsWith("snap-")) {
-            val id = name.stripPrefix("snap-").toLongOption
-            val orphan = id.exists(!committed(_))
-            if (orphan && Files.getLastModifiedTime(p).toMillis < cutoff) {
-              deleteRecursively(p)
-              removed += p.toString
+        // Files.list holds a directory handle until closed — a leaked
+        // stream per kind per invocation would pin fds until GC
+        scala.util.Using.resource(Files.list(dir)) { stream =>
+          val it = stream.iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            val name = p.getFileName.toString
+            if (name.startsWith("snap-")) {
+              val id = name.stripPrefix("snap-").toLongOption
+              val orphan = id.exists(!committed(_))
+              if (orphan && Files.getLastModifiedTime(p).toMillis < cutoff) {
+                deleteRecursively(p)
+                removed += p.toString
+              }
             }
           }
         }

@@ -199,15 +199,20 @@ object QaReport {
       else {
         val df = spark.read
           .parquet(withTiles.map(s => s"$root/data/snap-$s"): _*)
-        // the COARSEST zoom: at the finest zoom most tiles hold ~1
-        // feature (a near-constant field, I ≈ 0 even over a clustered
-        // corpus); coarse tiles aggregate the underlying density, so
-        // neighbor correlation — the thing that predicts skewed shuffle
-        // keys — is actually measurable there
+        // the COARSEST zoom (min zoom): at the finest zoom most tiles
+        // hold ~1 feature (a near-constant field, I ≈ 0 even over a
+        // clustered corpus); coarse tiles aggregate the underlying
+        // density, so neighbor correlation — the thing that predicts
+        // skewed shuffle keys — is actually measurable there. Counts
+        // are SUMMED per (x, y) first: gridMoransI assumes one row per
+        // cell, and a streamed delta root commits the same tile id in
+        // several snapshots — duplicate rows would double-count cells
+        // and inflate the pair sums
         val zmin = df.agg(min(col("zoom").cast("long"))).head().getLong(0)
         val r = graft.operators.CellSmooth.gridMoransI(
           df.filter(col("zoom").cast("long") === zmin)
-            .select(col("x"), col("y"), col("n_features")),
+            .groupBy("x", "y")
+            .agg(sum(col("n_features")).as("n_features")),
           "x", "y", "n_features").head()
         val i = r.getDouble(3)
         val e = r.getDouble(4)

@@ -33,10 +33,14 @@ import org.apache.spark.sql.DataFrame
   * (`tile_id`, `byte_len`).
   */
 object StreamCommit {
-  private def noteOf(streamId: String, batchId: Long): String =
-    s"stream=$streamId batch=$batchId"
+  // cap < 0 = unrecorded (legacy callers); a recorded cap lets serving
+  // compaction re-encode at the SAME tileCap the stream truncated its
+  // per-batch buffers with — any other cap breaks byte parity silently
+  private def noteOf(streamId: String, batchId: Long, cap: Int): String =
+    s"stream=$streamId batch=$batchId" + (if (cap >= 0) s" cap=$cap" else "")
 
-  private val NoteRe = """"note": "stream=(.+) batch=(\d+)"""".r
+  private val NoteRe =
+    """"note": "stream=(.+) batch=(\d+)(?: cap=(\d+))?"""".r
 
   /** Batch ids already committed under `root` for `streamId`, read from
     * every manifest still on disk (including replaced-but-unexpired
@@ -58,10 +62,10 @@ object StreamCommit {
     * [[cachedCommitter]]). Returns None when the batch id was already
     * committed (a re-delivery).
     */
-  def commitBatch(root: String, streamId: String)
+  def commitBatch(root: String, streamId: String, cap: Int = -1)
                  (df: DataFrame, batchId: Long): Option[Lineage.Snapshot] = {
     if (committedBatchIds(root, streamId).contains(batchId)) None
-    else Some(Lineage.commit(df, root, noteOf(streamId, batchId)))
+    else Some(Lineage.commit(df, root, noteOf(streamId, batchId, cap)))
   }
 
   /** Stateful committer for a long-lived stream: the committed-id set is
@@ -70,14 +74,14 @@ object StreamCommit {
     * micro-batch (quadratic over a stream's lifetime). foreachBatch
     * invocations are serialized per query, so the plain var is safe.
     */
-  def cachedCommitter(root: String, streamId: String)
+  def cachedCommitter(root: String, streamId: String, cap: Int = -1)
       : (DataFrame, Long) => Option[Lineage.Snapshot] = {
     var known: Set[Long] = null
     (df: DataFrame, batchId: Long) => {
       if (known == null) known = committedBatchIds(root, streamId)
       if (known.contains(batchId)) None
       else {
-        val snap = Lineage.commit(df, root, noteOf(streamId, batchId))
+        val snap = Lineage.commit(df, root, noteOf(streamId, batchId, cap))
         known += batchId
         Some(snap)
       }

@@ -32,7 +32,7 @@ class KnnJoinSpec extends AnyFunSuite {
     }
   }
 
-  test("sparse-region queries fall back to exact brute force") {
+  test("sparse-region queries resolve via ring-doubling, still exact") {
     import spark.implicits._
     // 10 points clustered in one city, query on the other side of the world
     val pts = (0 until 10).map(i => (i.toLong, 2.3 + i * 0.01, 48.8 + i * 0.01))
@@ -41,6 +41,45 @@ class KnnJoinSpec extends AnyFunSuite {
       qs.toDF("q_id", "q_lon", "q_lat"), pts.toDF("p_id", "lon", "lat"), k = 3)
       .collect()
     assert(got.length === 3)
+  }
+
+  test("every query sparse (pathological res): exact results, no nested-loop join anywhere") {
+    import spark.implicits._
+    // a fine grid with far-flung points makes EVERY probe come up short —
+    // the branch that used to cross-join sparse queries against all points
+    val pts = (0 until 30).map(i =>
+      (i.toLong, -170.0 + i * 11.0, -80.0 + (i * 37 % 160).toDouble))
+    val qs = (0 until 8).map(i =>
+      (i.toLong, -160.0 + i * 40.0, -70.0 + i * 18.0))
+    val out = graft.operators.KnnJoin.knn(
+      qs.toDF("q_id", "q_lon", "q_lat"), pts.toDF("p_id", "lon", "lat"),
+      k = 5, res = 6, probeRings = 1)
+    val got = out.select("q_id", "p_id", "rank")
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._3) -> r._2).toMap
+    qs.foreach { case (qid, qlon, qlat) =>
+      val expect = pts.map { case (pid, lon, lat) =>
+        (pid, (qlon - lon) * (qlon - lon) + (qlat - lat) * (qlat - lat))
+      }.sortBy(p => (p._2, p._1)).take(5)
+      expect.zipWithIndex.foreach { case ((pid, _), i) =>
+        assert(got((qid, i + 1)) === pid, s"q=$qid rank=${i + 1}")
+      }
+    }
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("fewer than k points in the whole dataset: total-coverage fallback returns what exists, no nested loop") {
+    import spark.implicits._
+    val pts = Seq((0L, 2.3, 48.8), (1L, -74.0, 40.7))
+    val qs = Seq((0L, -150.0, -60.0), (1L, 100.0, 30.0))
+    val out = graft.operators.KnnJoin.knn(
+      qs.toDF("q_id", "q_lon", "q_lat"), pts.toDF("p_id", "lon", "lat"), k = 5)
+    val got = out.collect()
+    assert(got.length === 4) // 2 queries × the only 2 points
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
   }
 
   test("withinRadius matches brute force exactly; no nested-loop join") {

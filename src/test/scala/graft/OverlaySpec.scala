@@ -71,6 +71,89 @@ class OverlaySpec extends AnyFunSuite {
     assert(rows.length === 1 && rows.head.getLong(0) === 7L)
   }
 
+  // serial SAT for convex n-gons (orientation-sum interior side —
+  // mirrors Overlay.convexIntersects exactly)
+  private def refConvex(a: Tri, b: Tri): Boolean = {
+    def orient(p: (Double, Double), q: (Double, Double),
+               r: (Double, Double)): Double =
+      (q._1 - p._1) * (r._2 - p._2) - (q._2 - p._2) * (r._1 - p._1)
+    def sep(t: Tri, o: Tri): Boolean = t.indices.exists { i =>
+      val (p, q) = (t(i), t((i + 1) % t.size))
+      val os = t.map(v => orient(p, q, v)).sum
+      (os > 0 && o.forall(v => orient(p, q, v) < 0)) ||
+        (os < 0 && o.forall(v => orient(p, q, v) > 0))
+    }
+    !(sep(a, b) || sep(b, a))
+  }
+
+  private def toNgonDf(prefix: String, n: Int, polys: Seq[(Long, Tri)]) = {
+    import spark.implicits._
+    val rows = polys.map { case (id, vs) =>
+      // pad short rings by repeating the last vertex (the documented
+      // fixed-width layout)
+      val p = vs ++ Seq.fill(n - vs.size)(vs.last)
+      (id, p.flatMap(v => Seq(v._1, v._2)))
+    }
+    val cols = col("_1").as(s"${prefix}_id") +:
+      (1 to n).flatMap(i => Seq(
+        col("_2")(2 * (i - 1)).as(s"${prefix}x$i"),
+        col("_2")(2 * i - 1).as(s"${prefix}y$i")))
+    rows.toDF().select(cols: _*)
+  }
+
+  test("convex n-gons: pentagon×hexagon parity with serial SAT, padded rings, cross-n widths") {
+    // pentagons (5 genuine vertices) vs hexagons, some rings padded up
+    def pent(i: Long, shift: Double): (Long, Tri) = {
+      val x = (i * 17.000170000017) % 340.0 - 170.0 + shift
+      val y = (i * 7.000070000007) % 160.0 - 80.0 + shift
+      val w = 2.0 + i % 5; val h = 2.0 + i % 7
+      (i, Seq((x, y), (x + w, y), (x + w, y + h), (x + 1.0, y + h),
+        (x, y + h - 1.0)))
+    }
+    def hexa(i: Long, shift: Double): (Long, Tri) = {
+      val x = (i * 13.000130000013) % 340.0 - 170.0 + shift
+      val y = (i * 5.000050000005) % 160.0 - 80.0 + shift
+      val w = 2.0 + i % 6; val h = 2.0 + i % 4
+      (i, Seq((x, y), (x + w - 1.0, y), (x + w, y + 1.0), (x + w, y + h),
+        (x + 1.0, y + h), (x, y + h - 1.0)))
+    }
+    val as = (0L until 80L).map(pent(_, 0.0)) ++
+      // padded: triangles and quads carried in the 5-wide layout
+      (200L until 220L).map(i => (i, Seq((i * 1.7 % 300 - 150, 40.0),
+        (i * 1.7 % 300 - 148, 40.0), (i * 1.7 % 300 - 150, 42.0))))
+    val bs = (0L until 80L).map(hexa(_, 1.0))
+    val want = (for { (ia, ta) <- as; (ib, tb) <- bs
+      if refConvex(ta, tb) } yield (ia, ib)).toSet
+    val out = Overlay.convexIntersectsJoin(
+      toNgonDf("a", 5, as), toNgonDf("b", 6, bs), nA = 5, nB = 6,
+      cellDeg = 8.0)
+    val got = out.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("convexity guard: a non-convex ring raises instead of silently under-reporting") {
+    // a dart (reflex vertex at (2,1)) — classic concave quad
+    val dart: Tri = Seq((0.0, 0.0), (4.0, 0.0), (2.0, 1.0), (2.0, 4.0))
+    val square: Tri = Seq((10.0, 10.0), (12.0, 10.0), (12.0, 12.0),
+      (10.0, 12.0))
+    val e = intercept[Exception] {
+      Overlay.convexIntersectsJoin(
+        toNgonDf("a", 4, Seq(1L -> dart)), toNgonDf("b", 4, Seq(2L -> square)),
+        nA = 4, nB = 4, cellDeg = 8.0).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("non-convex"),
+      String.valueOf(e.getMessage))
+    // same ring with validation off: caller's contract, no raise
+    Overlay.convexIntersectsJoin(
+      toNgonDf("a", 4, Seq(1L -> dart)), toNgonDf("b", 4, Seq(2L -> square)),
+      nA = 4, nB = 4, cellDeg = 8.0, validate = false).collect()
+  }
+
   test("brute-force parity on scattered sets; equi-join plan (no cartesian)") {
     def tri(i: Long, shift: Double): (Long, Tri) = {
       val lon = (i * 17.000170000017) % 340.0 - 170.0 + shift
