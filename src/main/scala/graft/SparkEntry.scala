@@ -397,6 +397,25 @@ object SparkEntry {
       graft.operators.Raster.rasterize(derivedPoints(s, dir), zoom = 3,
         gridSize = 64)
     }),
+    // ---- raster → vector iso-contours: marching squares over the q16
+    //      pixel grid — bounded ×4 corner explode, ONE mask agg, 16-row
+    //      broadcast case table (shared verbatim with the oracle) ----
+    "q108_contour_segments" -> ((s, dir) => {
+      val grid = graft.operators.Raster.globalCells(
+        graft.operators.Raster.rasterize(derivedPoints(s, dir), zoom = 3,
+          gridSize = 64), gridSize = 64)
+      graft.operators.Raster.contourSegments(grid, threshold = 1L)
+    }),
+    // ---- raster → vector regions: 4-connected polygonize via shifted
+    //      self equi joins + pointer-jumping CC (closure stays in the
+    //      oracle, the engine never goes quadratic) ----
+    "q109_polygonize" -> ((s, dir) => {
+      val grid = graft.operators.Raster.globalCells(
+        graft.operators.Raster.rasterize(derivedPoints(s, dir), zoom = 3,
+          gridSize = 64), gridSize = 64)
+      graft.operators.Raster.polygonize(grid, threshold = 1L,
+        yDim = 1L << 22)
+    }),
     // ---- polygon tiling: cover→clip→DP-simplify→MVT encode (rows-only) ----
     "q17_polygon_tiles" -> ((s, dir) => {
       graft.operators.PolyTiler.buildPolygonTiles(s, Seq(2, 4)).toDF()
@@ -1643,6 +1662,62 @@ object SparkEntry {
          |    - CAST(floor((1.0 - ln(tan(pi() / 4.0 + radians(lat) / 2.0)) / pi()) / 2.0 * 8.0) AS BIGINT) * 64 AS py,
          |  count(*) AS n
          |FROM pts GROUP BY 2, 3, 4, 5""".stripMargin,
+    "q108_contour_segments" -> {
+      // the same 16-case segment table, rendered from Raster.SegTable so
+      // the two texts cannot drift; grid = q16's binning with global
+      // pixel coords (floor of the full-resolution mercator product)
+      val segVals = graft.operators.Raster.SegTable.map {
+        case (m, sg, dx1, dy1, dx2, dy2) =>
+          s"($m, $sg, $dx1, $dy1, $dx2, $dy2)"
+      }.mkString(",\n  ")
+      s"""WITH pts AS ($derivedPointsSql),
+        |grid AS MATERIALIZED (
+        |  SELECT CAST(floor((lon + 180.0) / 360.0 * 8.0 * 64.0) AS BIGINT) AS gx,
+        |    CAST(floor((1.0 - ln(tan(pi() / 4.0 + radians(lat) / 2.0)) / pi()) / 2.0 * 8.0 * 64.0) AS BIGINT) AS gy
+        |  FROM pts GROUP BY 1, 2 HAVING count(*) >= 1),
+        |segtab(mask, seg, dx1, dy1, dx2, dy2) AS (VALUES
+        |  $segVals),
+        |corners AS MATERIALIZED (
+        |  SELECT gx AS mx, gy AS my, 1 AS bit FROM grid
+        |  UNION ALL SELECT gx - 1, gy, 2 FROM grid
+        |  UNION ALL SELECT gx - 1, gy - 1, 4 FROM grid
+        |  UNION ALL SELECT gx, gy - 1, 8 FROM grid),
+        |masks AS MATERIALIZED (
+        |  SELECT mx, my, CAST(sum(bit) AS BIGINT) AS mask FROM corners
+        |  GROUP BY 1, 2 HAVING sum(bit) <> 15)
+        |SELECT m.mx, m.my, m.mask, CAST(t.seg AS BIGINT) AS seg,
+        |  CAST(m.mx AS DOUBLE) + CAST(t.dx1 AS DOUBLE) AS x1,
+        |  CAST(m.my AS DOUBLE) + CAST(t.dy1 AS DOUBLE) AS y1,
+        |  CAST(m.mx AS DOUBLE) + CAST(t.dx2 AS DOUBLE) AS x2,
+        |  CAST(m.my AS DOUBLE) + CAST(t.dy2 AS DOUBLE) AS y2
+        |FROM masks m JOIN segtab t ON m.mask = t.mask""".stripMargin
+    },
+    "q109_polygonize" ->
+      // 4-adjacency transitive closure as a recursive CTE (the q101
+      // discipline: the ORACLE does the quadratic closure, the engine
+      // never does); region id = min pixel key, key = gx·2²² + gy
+      s"""WITH RECURSIVE pts AS ($derivedPointsSql),
+        |grid AS MATERIALIZED (
+        |  SELECT CAST(floor((lon + 180.0) / 360.0 * 8.0 * 64.0) AS BIGINT) AS gx,
+        |    CAST(floor((1.0 - ln(tan(pi() / 4.0 + radians(lat) / 2.0)) / pi()) / 2.0 * 8.0 * 64.0) AS BIGINT) AS gy,
+        |    count(*) AS n
+        |  FROM pts GROUP BY 1, 2),
+        |occ AS MATERIALIZED (
+        |  SELECT gx, gy, n, gx * 4194304 + gy AS id FROM grid WHERE n >= 1),
+        |edges AS MATERIALIZED (
+        |  SELECT a.id AS src, b.id AS dst FROM occ a JOIN occ b
+        |    ON abs(a.gx - b.gx) + abs(a.gy - b.gy) = 1),
+        |reach(a, b) AS (
+        |  SELECT id, id FROM occ
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |cc AS MATERIALIZED (
+        |  SELECT a AS id, min(b) AS region_id FROM reach GROUP BY a)
+        |SELECT cc.region_id, CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(o.n) AS BIGINT) AS sum_n,
+        |  min(o.gx) AS min_gx, max(o.gx) AS max_gx,
+        |  min(o.gy) AS min_gy, max(o.gy) AS max_gy
+        |FROM occ o JOIN cc ON o.id = cc.id GROUP BY 1""".stripMargin,
     "q32_linear_fit" ->
       """SELECT event_type,
         |  round(covar_pop(CAST(user_id AS DOUBLE), value) / var_pop(CAST(user_id AS DOUBLE)), 6) AS slope,
