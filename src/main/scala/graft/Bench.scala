@@ -279,7 +279,8 @@ object Bench {
       "q97_idw_grid", "q98_tri_overlay", "q99_zonal_stats",
       "q100_track_simplify", "q101_dbscan", "q102_st_dbscan",
       "q103_cluster_hulls", "q104_grid_dbscan", "q105_convex_overlay",
-      "q106_grid_hulls")
+      "q106_grid_hulls", "q108_contour_segments", "q109_polygonize",
+      "q110_clip_area")
     val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") == "1"
     // per-query shuffle-write MB + cpu_sec: the plan-quality and
     // steal-attribution evidence. Both are captured from the WINNING

@@ -1127,6 +1127,16 @@ object SparkEntry {
           cellDeg = 8.0)
         .select(col("a_id"), col("b_id"))
     }),
+    // ---- overlay as a MEASURE: q105's intersecting pairs with their
+    //      Sutherland–Hodgman intersection area (codegen'd kernel, one
+    //      clip per SAT-surviving pair); pinned fixture oracle — S-H is
+    //      not SQL-derivable — real verification in ConvexClipSpec ----
+    "q110_clip_area" -> ((s, dir) => {
+      val (a, b) = overlayPolygons(derivedPoints(s, dir))
+      graft.operators.Overlay.clipAreaJoin(a, b, nA = 5, nB = 6,
+          cellDeg = 8.0)
+        .select(col("a_id"), col("b_id"), round(col("area"), 6).as("area"))
+    }),
     // ---- site-level boilerplate removal (RefinedWeb's repeated-line
     //      drop, scoped per source): units in ≥20 distinct docs of a
     //      source are template chrome, removed everywhere with order

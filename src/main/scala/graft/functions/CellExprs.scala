@@ -124,6 +124,31 @@ case class RingStatsExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** clip_area(axs, ays, bxs, bys) → Double — intersection area of two
+  * convex rings (Sutherland–Hodgman clip + shoelace, core/ConvexClip).
+  * Stays in whole-stage codegen via a static kernel call, like every
+  * other geometry kernel here.
+  */
+case class ClipAreaExpr(first: Expression, second: Expression,
+                        third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean =
+    first.nullable || second.nullable || third.nullable || fourth.nullable
+  override def prettyName: String = "clip_area"
+  private def arr(a: Any): Array[Double] =
+    a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+  override protected def nullSafeEval(ax: Any, ay: Any, bx: Any, by: Any): Any =
+    graft.core.ConvexClip.intersectionArea(arr(ax), arr(ay), arr(bx), arr(by))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (ax, ay, bx, by) =>
+      s"graft.core.ConvexClip.intersectionArea($ax.toDoubleArray(), " +
+        s"$ay.toDoubleArray(), $bx.toDoubleArray(), $by.toDoubleArray())")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(f, s, t, q)
+}
+
 object geo {
   import org.apache.spark.sql.GraftBridge.{column, expression}
 
@@ -138,6 +163,9 @@ object geo {
     column(GeohashExpr(expression(lon), expression(lat), expression(precision)))
   def ring_stats(xs: Column, ys: Column): Column =
     column(RingStatsExpr(expression(xs), expression(ys)))
+  def clip_area(axs: Column, ays: Column, bxs: Column, bys: Column): Column =
+    column(ClipAreaExpr(expression(axs), expression(ays),
+      expression(bxs), expression(bys)))
 
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

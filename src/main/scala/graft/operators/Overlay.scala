@@ -144,6 +144,28 @@ object Overlay {
       .drop(dropCols: _*)
   }
 
+  /** [[convexIntersectsJoin]] plus the intersection AREA of every
+    * surviving pair — the overlay join upgraded from a predicate to a
+    * measure (area-weighted zonal stats, coverage fractions, conflation
+    * scoring). The area comes from the codegen'd Sutherland–Hodgman
+    * kernel ([[graft.core.ConvexClip]]) evaluated ONCE per intersecting
+    * pair, after the SAT filter has already discarded disjoint
+    * candidates — the O(nA·nB) clip never runs on pairs the O(nA+nB)
+    * SAT rejects. Padded (repeated) vertices pass through both. Output:
+    * the joined row plus `area` (raw double; callers round for
+    * presentation).
+    */
+  def clipAreaJoin(as: DataFrame, bs: DataFrame, nA: Int, nB: Int,
+                   cellDeg: Double, validate: Boolean = true): DataFrame = {
+    import graft.functions.geo
+    val axs = array((1 to nA).map(i => col(s"ax$i")): _*)
+    val ays = array((1 to nA).map(i => col(s"ay$i")): _*)
+    val bxs = array((1 to nB).map(i => col(s"bx$i")): _*)
+    val bys = array((1 to nB).map(i => col(s"by$i")): _*)
+    convexIntersectsJoin(as, bs, nA, nB, cellDeg, validate)
+      .withColumn("area", geo.clip_area(axs, ays, bxs, bys))
+  }
+
   /** All intersecting (a_id, b_id) triangle pairs — the nA = nB = 3
     * case of [[convexIntersectsJoin]] (validation off: the triangle
     * callers predate the guard and 3-rings are convex by construction).
