@@ -1067,6 +1067,42 @@ object SparkEntry {
           cellDeg = 45.0, validate = false)
         .select(col("a_id").as("cluster_id"), col("b_id").as("admin_id"))
     }),
+    // ---- areal interpolation (the classic polygon-overlay population
+    //      estimate): per admin polygon, the overlap area with every
+    //      intersecting hot-region hull and the hull-point mass
+    //      apportioned by area fraction — q110's measure in use. Per-row
+    //      doubles quantized to a 1e-9 integer grid before the sum so
+    //      the aggregate is order-insensitive (the q88 discipline) ----
+    "q111_zonal_overlap" -> ((s, dir) => {
+      val pts = derivedPoints(s, dir).select(col("doc_id"),
+        ((col("doc_id") % 8).cast("double") * lit(45.0) - lit(157.5)
+          + col("lon") * lit(0.05)).as("lon"),
+        ((col("doc_id") % 8).cast("double") * lit(20.0) - lit(70.0)
+          + col("lat") * lit(0.05)).as("lat"))
+      val hulls = graft.operators.Dbscan.clusterGridHulls(pts, "doc_id",
+        epsDeg = 5.0, minPts = 8, cellDeg = 0.25, res = 1)
+      val a = graft.operators.Overlay.wktConvexCols(
+        hulls.select(col("cluster_id").as("a_id"), col("wkt")),
+        "a_id", "wkt", maxN = 24, prefix = "a")
+        .join(hulls.select(col("cluster_id").as("a_id"), col("n_pts"),
+          col("area").as("hull_area")), Seq("a_id"))
+      import s.implicits._
+      val b = graft.sources.PolyRegistry.oracleTriangles.map { p =>
+        (p.adminId, p.xs(0), p.ys(0), p.xs(1), p.ys(1), p.xs(2), p.ys(2))
+      }.toDF("b_id", "bx1", "by1", "bx2", "by2", "bx3", "by3")
+      graft.operators.Overlay.clipAreaJoin(a, b, nA = 24, nB = 3,
+          cellDeg = 45.0, validate = false)
+        .select(col("b_id").as("admin_id"),
+          floor(col("area") * lit(1e9) + lit(0.5)).cast("long").as("ov_e9"),
+          floor(col("n_pts").cast("double") * (col("area") / col("hull_area"))
+            * lit(1e9) + lit(0.5)).cast("long").as("est_e9"))
+        .groupBy("admin_id")
+        .agg(count(lit(1)).as("n_hulls"),
+          round(sum(col("ov_e9")).cast("double") / lit(1e9), 6)
+            .as("overlap_area"),
+          round(sum(col("est_e9")).cast("double") / lit(1e9), 6)
+            .as("est_pts"))
+    }),
     // ---- exact DBSCAN density clustering: ε-pairs via cell-ring
     //      candidates → core-point count agg → connected components
     //      over core-core edges → min-cluster border assign; the
