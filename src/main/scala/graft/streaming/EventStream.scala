@@ -111,6 +111,44 @@ object EventStream {
       .select(col("url"), col("fp"), col("n_words"))
   }
 
+  final case class HotCellAlert(cell: Long, n_at_cross: Long)
+
+  /** Stateful hot-cell ALERTING over a live page stream: per hex cell
+    * (geoparse → codegen'd cell encode), keep a cumulative mention
+    * count and emit ONE alert row the first time a cell's count reaches
+    * `minCount` — the streaming twin of the batch hotspot queries (q62
+    * et al.), but with fire-once semantics a windowed aggregation
+    * cannot express (flatMapGroupsWithState in Append mode: zero rows
+    * on most updates, one row at the crossing, never again).
+    *
+    * Scale shape: state is 16 bytes per DISTINCT live cell (count +
+    * fired flag) — bounded by geography, not traffic; the geoparse and
+    * cell encode are stateless codegen'd projections; the only shuffle
+    * is the cell-keyed state exchange every micro-batch. Works on batch
+    * frames too (same definition, one pass = one "batch"), which is
+    * what the parity spec pins against the streamed run.
+    */
+  def hotCellAlerts(pages: DataFrame, res: Int, minCount: Long)
+      : Dataset[HotCellAlert] = {
+    import graft.functions.{geo, geoparse}
+    import pages.sparkSession.implicits._
+    val cells = pages
+      .select(explode(geoparse.geoparse_mentions(col("text"))).as("m"))
+      .select(geo.hex_cell(col("m.lon"), col("m.lat"), lit(res)).as("cell"))
+      .as[Long]
+    cells.groupByKey(identity)
+      .flatMapGroupsWithState[(Long, Boolean), HotCellAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (cell: Long, rows: Iterator[Long], state: GroupState[(Long, Boolean)]) =>
+          val (n0, fired) = state.getOption.getOrElse((0L, false))
+          val n = n0 + rows.size
+          val crosses = !fired && n >= minCount
+          state.update((n, fired || crosses))
+          if (crosses) Iterator.single(HotCellAlert(cell, n))
+          else Iterator.empty
+      }
+  }
+
   final case class SessionUpdate(user_id: Long, n_events: Long,
                                  first_us: Long, last_us: Long, closed: Boolean)
 

@@ -178,6 +178,52 @@ class EventStreamSpec extends AnyFunSuite {
   }
 }
 
+class HotCellAlertSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("hot-cell alerts fire exactly once per crossing cell; streamed set equals batch set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pages = graft.sources.SynthPages.pagesDF(spark, 400)
+    val minCount = 5L
+    // ground truth: cells whose TOTAL mention count reaches minCount
+    val totals = pages
+      .select(explode(graft.functions.geoparse.geoparse_mentions(col("text"))).as("m"))
+      .select(graft.functions.geo.hex_cell(col("m.lon"), col("m.lat"), lit(4)).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+    val wantCells = totals.filter(col("n") >= minCount)
+      .select("cell").as[Long].collect().toSet
+    assert(wantCells.nonEmpty &&
+      wantCells.size < totals.count()) // both hot and cold cells exist
+    // batch mode: one pass, same definition
+    val batchGot = graft.streaming.EventStream
+      .hotCellAlerts(pages, res = 4, minCount = minCount)
+      .collect().map(_.cell).toSet
+    assert(batchGot === wantCells)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (String, java.sql.Timestamp, String)]
+    val streamDf = input.toDF().toDF("url", "warc_ts", "text")
+    val q = graft.streaming.EventStream
+      .hotCellAlerts(streamDf, res = 4, minCount = minCount)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hotcells").start()
+    val rows = pages.select(col("url"), col("warc_ts"), col("text"))
+      .as[(String, java.sql.Timestamp, String)].collect()
+    // three micro-batches: a cell crossing in batch 1 must NOT re-fire
+    // when batches 2 and 3 add more mentions to it
+    val thirds = rows.grouped((rows.length + 2) / 3).toSeq
+    thirds.foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    val alerts = spark.table("hotcells").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    q.stop()
+    assert(alerts.map(_._1).toSet === wantCells)
+    assert(alerts.length === wantCells.size, "an alert re-fired")
+    alerts.foreach { case (_, n) => assert(n >= minCount) }
+  }
+}
+
 class TilerStreamSpec extends AnyFunSuite {
   import SharedSpark._
 
