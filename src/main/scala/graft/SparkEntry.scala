@@ -1103,6 +1103,18 @@ object SparkEntry {
           round(sum(col("est_e9")).cast("double") / lit(1e9), 6)
             .as("est_pts"))
     }),
+    // ---- nearest-polygon join (proximity companion of PIP): closest
+    //      registry triangle within 15°, exact point-to-triangle
+    //      distance² whose SQL text is shared VERBATIM between engine
+    //      (expr) and oracle — bit-identical doubles by construction ----
+    "q112_nearest_polygon" -> ((s, dir) => {
+      import s.implicits._
+      val b = graft.sources.PolyRegistry.oracleTriangles.map { p =>
+        (p.adminId, p.xs(0), p.ys(0), p.xs(1), p.ys(1), p.xs(2), p.ys(2))
+      }.toDF("b_id", "bx1", "by1", "bx2", "by2", "bx3", "by3")
+      graft.operators.SpatialJoin.nearestPolygonWithin(
+        derivedPoints(s, dir), b, radiusDeg = 15.0, cellDeg = 15.0)
+    }),
     // ---- exact DBSCAN density clustering: ε-pairs via cell-ring
     //      candidates → core-point count agg → connected components
     //      over core-core edges → min-cluster border assign; the
@@ -1737,6 +1749,31 @@ object SparkEntry {
         |  CAST(m.mx AS DOUBLE) + CAST(t.dx2 AS DOUBLE) AS x2,
         |  CAST(m.my AS DOUBLE) + CAST(t.dy2 AS DOUBLE) AS y2
         |FROM masks m JOIN segtab t ON m.mask = t.mask""".stripMargin
+    },
+    "q112_nearest_polygon" -> {
+      val bv = Seq(("bx1", "by1"), ("bx2", "by2"), ("bx3", "by3"))
+      // brute-force replay: cross join + the IDENTICAL distance text
+      // (one Scala string feeds both engines), filter BEFORE rounding,
+      // argmin window ordered (d2, b_id) — deterministic because the
+      // doubles are bit-identical
+      val vals = graft.sources.PolyRegistry.oracleTriangles.map { p =>
+        s"(${p.adminId}, CAST(${p.xs(0)} AS DOUBLE), CAST(${p.ys(0)} AS DOUBLE), " +
+          s"CAST(${p.xs(1)} AS DOUBLE), CAST(${p.ys(1)} AS DOUBLE), " +
+          s"CAST(${p.xs(2)} AS DOUBLE), CAST(${p.ys(2)} AS DOUBLE))"
+      }.mkString(",\n  ")
+      s"""WITH pts AS ($derivedPointsSql),
+        |tris(b_id, bx1, by1, bx2, by2, bx3, by3) AS (VALUES
+        |  $vals),
+        |cand AS MATERIALIZED (
+        |  SELECT p.doc_id, t.b_id,
+        |    ${graft.operators.SpatialJoin.pointTriDist2Sql("lon", "lat", bv)} AS d2
+        |  FROM pts p CROSS JOIN tris t),
+        |hit AS (
+        |  SELECT doc_id, b_id, d2,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY d2 ASC, b_id ASC) AS rn
+        |  FROM cand WHERE d2 <= CAST(225.0 AS DOUBLE))
+        |SELECT doc_id, CAST(b_id AS BIGINT) AS admin_id, round(d2, 9) AS dist2
+        |FROM hit WHERE rn = 1""".stripMargin
     },
     "q109_polygonize" ->
       // 4-adjacency transitive closure as a recursive CTE (the q101

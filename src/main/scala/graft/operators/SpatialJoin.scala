@@ -213,4 +213,89 @@ object SpatialJoin {
       .withColumn("admin_name", when(col("__hit"), col("admin_name")))
       .drop("__cell", "cover_cell", "__hit", "__any", "__rn")
   }
+
+  /** SQL text of the EXACT point-to-triangle squared distance: 0 when
+    * the point is inside (half-plane test with the orientation-sum
+    * interior side — the q105 discipline, so any ring orientation
+    * works), else the min over the three edges of the clamped
+    * point-to-segment distance². ONE string consumed BOTH by the engine
+    * (via `expr`) and by the DuckDB oracle replay — the two evaluations
+    * share their arithmetic text verbatim, so they cannot drift and the
+    * doubles come out bit-identical. Constants are spelled
+    * CAST(… AS DOUBLE) because DuckDB parses bare decimals as DECIMAL.
+    */
+  def pointTriDist2Sql(px: String, py: String,
+                       v: Seq[(String, String)]): String = {
+    require(v.size == 3)
+    def orient(p: (String, String), q: (String, String),
+               rx: String, ry: String): String =
+      s"((${q._1} - ${p._1}) * ($ry - ${p._2}) - " +
+        s"(${q._2} - ${p._2}) * ($rx - ${p._1}))"
+    val inside = v.indices.map { i =>
+      val p = v(i); val q = v((i + 1) % 3)
+      val os = v.map(w => orient(p, q, w._1, w._2)).mkString("(", " + ", ")")
+      val op = orient(p, q, px, py)
+      s"(($os > 0 AND $op >= 0) OR ($os < 0 AND $op <= 0))"
+    }.mkString("(", " AND ", ")")
+    val edges = v.indices.map { i =>
+      val (ax, ay) = v(i); val (bx, by) = v((i + 1) % 3)
+      val dx = s"($bx - $ax)"; val dy = s"($by - $ay)"
+      val t = s"greatest(CAST(0.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE), " +
+        s"((($px - $ax) * $dx + ($py - $ay) * $dy) / ($dx * $dx + $dy * $dy))))"
+      s"(((($ax + $t * $dx) - $px) * (($ax + $t * $dx) - $px)) + " +
+        s"((($ay + $t * $dy) - $py) * (($ay + $t * $dy) - $py)))"
+    }
+    s"(CASE WHEN $inside THEN CAST(0.0 AS DOUBLE) " +
+      s"ELSE least(${edges.mkString(", ")}) END)"
+  }
+
+  /** Nearest-polygon join within a radius: for every point, the CLOSEST
+    * registry triangle at most `radiusDeg` away (planar degrees), with
+    * its exact squared distance — the proximity companion of the PIP
+    * join (inside → dist 0) and of q94's point-point distance band.
+    *
+    * Scale shape: each triangle's bbox, EXPANDED by the radius, explodes
+    * to planar-grid cells (registry-sized fan-out); each point maps to
+    * exactly ONE cell, so every candidate pair meets exactly once (no
+    * distinct pass) in one cell equi join — a naive dist ≤ r predicate
+    * against the registry would plan as a nested loop. The argmin is a
+    * point-keyed window ordered (dist2, admin_id) — deterministic under
+    * ties because both engines see bit-identical dist2.
+    *
+    * `tris` columns: (b_id, bx1, by1, bx2, by2, bx3, by3).
+    */
+  def nearestPolygonWithin(points: DataFrame, tris: DataFrame,
+                           radiusDeg: Double, cellDeg: Double,
+                           idCol: String = "doc_id"): DataFrame = {
+    require(radiusDeg > 0.0 && cellDeg > 0.0)
+    import org.apache.spark.sql.expressions.Window
+    val xs = Seq(col("bx1"), col("bx2"), col("bx3"))
+    val ys = Seq(col("by1"), col("by2"), col("by3"))
+    val cover = tris
+      .withColumn("__cx0",
+        floor((least(xs: _*) - radiusDeg) / cellDeg).cast("long"))
+      .withColumn("__cx1",
+        floor((greatest(xs: _*) + radiusDeg) / cellDeg).cast("long"))
+      .withColumn("__cy0",
+        floor((least(ys: _*) - radiusDeg) / cellDeg).cast("long"))
+      .withColumn("__cy1",
+        floor((greatest(ys: _*) + radiusDeg) / cellDeg).cast("long"))
+      .withColumn("__cx", explode(sequence(col("__cx0"), col("__cx1"))))
+      .withColumn("__cy", explode(sequence(col("__cy0"), col("__cy1"))))
+      .drop("__cx0", "__cx1", "__cy0", "__cy1")
+    val pts = points.select(col(idCol), col("lon"), col("lat"),
+      floor(col("lon") / cellDeg).cast("long").as("__cx"),
+      floor(col("lat") / cellDeg).cast("long").as("__cy"))
+    val d2 = expr(pointTriDist2Sql("lon", "lat",
+      Seq(("bx1", "by1"), ("bx2", "by2"), ("bx3", "by3"))))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("__d2").asc, col("b_id").asc)
+    pts.join(cover, Seq("__cx", "__cy"))
+      .withColumn("__d2", d2)
+      .filter(col("__d2") <= lit(radiusDeg) * lit(radiusDeg))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("b_id").as("admin_id"),
+        round(col("__d2"), 9).as("dist2"))
+  }
 }

@@ -107,6 +107,71 @@ class KnnJoinSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), plan)
   }
+
+  test("nearest-polygon join: exact argmin vs serial reference; inside points at dist 0; no nested loop") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val tris = (0L until 12L).map { i =>
+      val cx = rnd.nextDouble() * 300 - 150
+      val cy = rnd.nextDouble() * 140 - 70
+      (i, cx, cy, cx + 6 + rnd.nextDouble() * 6, cy + rnd.nextDouble() * 3,
+        cx + rnd.nextDouble() * 3, cy + 6 + rnd.nextDouble() * 6)
+    }
+    val pts = (0L until 500L).map { i =>
+      (i, rnd.nextDouble() * 340 - 170, rnd.nextDouble() * 160 - 80)
+    }
+    val r = 12.0
+    // serial reference with the same semantics (clamped point-segment
+    // distance, 0 inside, argmin ties by id)
+    def segD2(px: Double, py: Double, ax: Double, ay: Double,
+              bx: Double, by: Double): Double = {
+      val dx = bx - ax; val dy = by - ay
+      val t = math.max(0.0, math.min(1.0,
+        ((px - ax) * dx + (py - ay) * dy) / (dx * dx + dy * dy)))
+      val ex = ax + t * dx - px; val ey = ay + t * dy - py
+      ex * ex + ey * ey
+    }
+    def triD2(px: Double, py: Double,
+              t: (Long, Double, Double, Double, Double, Double, Double)): Double = {
+      val vs = Seq((t._2, t._3), (t._4, t._5), (t._6, t._7))
+      def or(p: (Double, Double), q: (Double, Double), x: Double, y: Double) =
+        (q._1 - p._1) * (y - p._2) - (q._2 - p._2) * (x - p._1)
+      val inside = vs.indices.forall { i =>
+        val p = vs(i); val q = vs((i + 1) % 3)
+        val os = vs.map(w => or(p, q, w._1, w._2)).sum
+        (os > 0 && or(p, q, px, py) >= 0) || (os < 0 && or(p, q, px, py) <= 0)
+      }
+      if (inside) 0.0
+      else vs.indices.map { i =>
+        val p = vs(i); val q = vs((i + 1) % 3)
+        segD2(px, py, p._1, p._2, q._1, q._2)
+      }.min
+    }
+    val want = pts.flatMap { case (id, px, py) =>
+      val hits = tris.map(t => (t._1, triD2(px, py, t)))
+        .filter(_._2 <= r * r)
+      if (hits.isEmpty) None
+      else Some(id -> hits.minBy(h => (h._2, h._1)))
+    }.toMap
+    val out = graft.operators.SpatialJoin.nearestPolygonWithin(
+      pts.toDF("doc_id", "lon", "lat"),
+      tris.toDF("b_id", "bx1", "by1", "bx2", "by2", "bx3", "by3"),
+      radiusDeg = r, cellDeg = r)
+    val got = out.collect()
+      .map(rr => rr.getLong(0) -> (rr.getLong(1), rr.getDouble(2))).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (id, (aid, d2)) =>
+      val (wAid, wD2) = want(id)
+      assert(aid === wAid, s"point $id")
+      assert(math.abs(d2 - wD2) < 1e-9, s"point $id: $d2 vs $wD2")
+    }
+    // inside points exist and carry dist2 == 0 exactly
+    assert(got.values.exists(_._2 == 0.0))
+    assert(got.values.exists(_._2 > 0.0))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
 }
 
 class DedupSpec extends AnyFunSuite {
