@@ -1115,6 +1115,39 @@ object SparkEntry {
       graft.operators.SpatialJoin.nearestPolygonWithin(
         derivedPoints(s, dir), b, radiusDeg = 15.0, cellDeg = 15.0)
     }),
+    // ---- border-crossing detection: zigzag tracks (pure integer
+    //      triangle-waves — portable, unlike sin) × admin boundary
+    //      edges through the PROPER segment-crossing join; predicate
+    //      text shared verbatim with the oracle (q112 discipline) ----
+    "q113_border_crossings" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("event_id")
+      val coords = t(s, dir, "events")
+        .select(col("user_id").cast("long").as("user_id"), col("event_id"))
+        .withColumn("seq", row_number().over(w).cast("long"))
+        .withColumn("lon",
+          abs((col("user_id") * 13 + col("seq") * 17) % 336 - 168)
+            .cast("double") - lit(84.0))
+        .withColumn("lat",
+          abs((col("user_id") * 7 + col("seq") * 11) % 164 - 82)
+            .cast("double") - lit(41.0))
+      val segs = coords
+        .withColumn("ax2", lead(col("lon"), 1).over(w))
+        .withColumn("ay2", lead(col("lat"), 1).over(w))
+        .filter(col("ax2").isNotNull)
+        .select(col("user_id"), col("seq"),
+          col("lon").as("ax1"), col("lat").as("ay1"),
+          col("ax2"), col("ay2"))
+      val edges = graft.sources.PolyRegistry.oracleTriangles.flatMap { p =>
+        (0 until 3).map { e =>
+          (p.adminId, e.toLong, p.xs(e), p.ys(e),
+            p.xs((e + 1) % 3), p.ys((e + 1) % 3))
+        }
+      }.toDF("admin_id", "edge_id", "bx1", "by1", "bx2", "by2")
+      graft.operators.Overlay.segmentCrossJoin(segs, edges, cellDeg = 20.0)
+        .select("user_id", "seq", "admin_id", "edge_id")
+    }),
     // ---- exact DBSCAN density clustering: ε-pairs via cell-ring
     //      candidates → core-point count agg → connected components
     //      over core-core edges → min-cluster border assign; the
@@ -1749,6 +1782,42 @@ object SparkEntry {
         |  CAST(m.mx AS DOUBLE) + CAST(t.dx2 AS DOUBLE) AS x2,
         |  CAST(m.my AS DOUBLE) + CAST(t.dy2 AS DOUBLE) AS y2
         |FROM masks m JOIN segtab t ON m.mask = t.mask""".stripMargin
+    },
+    "q113_border_crossings" -> {
+      // the IDENTICAL proper-crossing predicate text (one Scala string
+      // feeds both engines); the edge table is VALUES from the same
+      // registry source; the track derivation is pure integer
+      // arithmetic replayed verbatim
+      val pred = graft.operators.Overlay.segCrossSql(
+        "s.ax1", "s.ay1", "s.ax2", "s.ay2",
+        "e.bx1", "e.by1", "e.bx2", "e.by2")
+      val vals = graft.sources.PolyRegistry.oracleTriangles.flatMap { p =>
+        (0 until 3).map { e =>
+          s"(${p.adminId}, $e, CAST(${p.xs(e)} AS DOUBLE), " +
+            s"CAST(${p.ys(e)} AS DOUBLE), CAST(${p.xs((e + 1) % 3)} AS DOUBLE), " +
+            s"CAST(${p.ys((e + 1) % 3)} AS DOUBLE))"
+        }
+      }.mkString(",\n  ")
+      s"""WITH pts AS (
+        |  SELECT CAST(user_id AS BIGINT) AS user_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS seq
+        |  FROM events),
+        |coords AS MATERIALIZED (
+        |  SELECT user_id, seq,
+        |    CAST(abs((user_id * 13 + seq * 17) % 336 - 168) AS DOUBLE) - CAST(84.0 AS DOUBLE) AS lon,
+        |    CAST(abs((user_id * 7 + seq * 11) % 164 - 82) AS DOUBLE) - CAST(41.0 AS DOUBLE) AS lat
+        |  FROM pts),
+        |segs AS MATERIALIZED (
+        |  SELECT user_id, seq, lon AS ax1, lat AS ay1,
+        |    lead(lon) OVER (PARTITION BY user_id ORDER BY seq) AS ax2,
+        |    lead(lat) OVER (PARTITION BY user_id ORDER BY seq) AS ay2
+        |  FROM coords),
+        |edges(admin_id, edge_id, bx1, by1, bx2, by2) AS (VALUES
+        |  $vals)
+        |SELECT s.user_id, s.seq, CAST(e.admin_id AS BIGINT) AS admin_id,
+        |  CAST(e.edge_id AS BIGINT) AS edge_id
+        |FROM segs s CROSS JOIN edges e
+        |WHERE s.ax2 IS NOT NULL AND $pred""".stripMargin
     },
     "q112_nearest_polygon" -> {
       val bv = Seq(("bx1", "by1"), ("bx2", "by2"), ("bx3", "by3"))

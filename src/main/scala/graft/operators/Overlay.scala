@@ -174,6 +174,66 @@ object Overlay {
                              cellDeg: Double): DataFrame =
     convexIntersectsJoin(as, bs, nA = 3, nB = 3, cellDeg, validate = false)
 
+  /** SQL text of the PROPER segment-segment crossing predicate: the two
+    * segments cross at exactly one interior point of each — the four
+    * orientation determinants strictly straddle pairwise. Touch/overlap
+    * cases (an endpoint ON the other segment, collinear overlap) are
+    * deliberately excluded: proper crossing is the border-crossing
+    * semantics, and strict inequalities make the predicate a pure sign
+    * test with no on-segment epsilon cases. ONE string consumed both by
+    * the engine (via `expr`) and the oracle replay (the q112
+    * discipline) — bit-identical evaluation by construction.
+    */
+  def segCrossSql(ax1: String, ay1: String, ax2: String, ay2: String,
+                  bx1: String, by1: String, bx2: String, by2: String): String = {
+    def orient(px: String, py: String, qx: String, qy: String,
+               rx: String, ry: String): String =
+      s"((($qx) - ($px)) * (($ry) - ($py)) - (($qy) - ($py)) * (($rx) - ($px)))"
+    val d1 = orient(bx1, by1, bx2, by2, ax1, ay1)
+    val d2 = orient(bx1, by1, bx2, by2, ax2, ay2)
+    val d3 = orient(ax1, ay1, ax2, ay2, bx1, by1)
+    val d4 = orient(ax1, ay1, ax2, ay2, bx2, by2)
+    s"((($d1 > 0 AND $d2 < 0) OR ($d1 < 0 AND $d2 > 0)) AND " +
+      s"(($d3 > 0 AND $d4 < 0) OR ($d3 < 0 AND $d4 > 0)))"
+  }
+
+  /** All properly-crossing (a_id, b_id) segment pairs. Inputs:
+    * `as`(a_id, ax1, ay1, ax2, ay2), `bs`(b_id, bx1, by1, bx2, by2).
+    * Same candidate machinery as the polygon joins: each segment's bbox
+    * explodes to `cellDeg` grid cells, the sides meet in ONE cell equi
+    * join, and a pair sharing several cells is evaluated exactly once
+    * via reference-point dedup. The predicate is [[segCrossSql]] through
+    * `expr` — the oracle replays the identical text.
+    */
+  def segmentCrossJoin(as: DataFrame, bs: DataFrame,
+                       cellDeg: Double): DataFrame = {
+    require(cellDeg > 0.0)
+    def cover(df: DataFrame, p: String): DataFrame = {
+      val xs = Seq(col(s"${p}x1"), col(s"${p}x2"))
+      val ys = Seq(col(s"${p}y1"), col(s"${p}y2"))
+      df.withColumn(s"__${p}cx0",
+          floor(least(xs: _*) / lit(cellDeg)).cast("long"))
+        .withColumn(s"__${p}cx1",
+          floor(greatest(xs: _*) / lit(cellDeg)).cast("long"))
+        .withColumn(s"__${p}cy0",
+          floor(least(ys: _*) / lit(cellDeg)).cast("long"))
+        .withColumn(s"__${p}cy1",
+          floor(greatest(ys: _*) / lit(cellDeg)).cast("long"))
+        .withColumn("__cx",
+          explode(sequence(col(s"__${p}cx0"), col(s"__${p}cx1"))))
+        .withColumn("__cy",
+          explode(sequence(col(s"__${p}cy0"), col(s"__${p}cy1"))))
+        .drop(s"__${p}cx1", s"__${p}cy1")
+    }
+    cover(as, "a")
+      .join(cover(bs, "b"), Seq("__cx", "__cy"))
+      .filter(col("__cx") === greatest(col("__acx0"), col("__bcx0")) &&
+        col("__cy") === greatest(col("__acy0"), col("__bcy0")))
+      .filter(expr(segCrossSql("ax1", "ay1", "ax2", "ay2",
+        "bx1", "by1", "bx2", "by2")))
+      .drop("__cx", "__cy", "__acx0", "__acy0", "__bcx0", "__bcy0")
+  }
+
   /** Bridge from this engine's hull WKT (`POLYGON ((x y, …, x0 y0))`,
     * closing vertex repeated — [[Dbscan.clusterHulls]] output) to the
     * fixed-width padded vertex layout of [[convexIntersectsJoin]]:

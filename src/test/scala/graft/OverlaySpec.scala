@@ -154,6 +154,49 @@ class OverlaySpec extends AnyFunSuite {
       nA = 4, nB = 4, cellDeg = 8.0, validate = false).collect()
   }
 
+  test("segment crossing join: proper-crossing parity with a serial reference; touch excluded; no cartesian") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def seg(i: Long): (Long, Double, Double, Double, Double) = {
+      val x = rnd.nextDouble() * 300 - 150; val y = rnd.nextDouble() * 140 - 70
+      (i, x, y, x + rnd.nextDouble() * 30 - 15, y + rnd.nextDouble() * 30 - 15)
+    }
+    val as = (0L until 150L).map(seg)
+    val bs = (500L until 650L).map(seg) ++ Seq(
+      // touch cases that must be EXCLUDED: shared endpoint, T-junction
+      (900L, as.head._2, as.head._3, as.head._2 + 50.0, as.head._3 + 1.0),
+      (901L, (as(1)._2 + as(1)._4) / 2, (as(1)._3 + as(1)._5) / 2,
+        (as(1)._2 + as(1)._4) / 2, (as(1)._3 + as(1)._5) / 2 + 40.0))
+    def orient(px: Double, py: Double, qx: Double, qy: Double,
+               rx: Double, ry: Double): Double =
+      (qx - px) * (ry - py) - (qy - py) * (rx - px)
+    def crosses(a: (Long, Double, Double, Double, Double),
+                b: (Long, Double, Double, Double, Double)): Boolean = {
+      val d1 = orient(b._2, b._3, b._4, b._5, a._2, a._3)
+      val d2 = orient(b._2, b._3, b._4, b._5, a._4, a._5)
+      val d3 = orient(a._2, a._3, a._4, a._5, b._2, b._3)
+      val d4 = orient(a._2, a._3, a._4, a._5, b._4, b._5)
+      ((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
+        ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))
+    }
+    val want = (for { a <- as; b <- bs if crosses(a, b) }
+      yield (a._1, b._1)).toSet
+    val out = Overlay.segmentCrossJoin(
+      as.toDF("a_id", "ax1", "ay1", "ax2", "ay2"),
+      bs.toDF("b_id", "bx1", "by1", "bx2", "by2"), cellDeg = 15.0)
+    val got = out.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+    // the ENGINEERED touch pairs produced no rows (proper semantics) —
+    // segments 900/901 may legitimately cross OTHER segments
+    assert(!got.contains((as.head._1, 900L)))
+    assert(!got.contains((as(1)._1, 901L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("brute-force parity on scattered sets; equi-join plan (no cartesian)") {
     def tri(i: Long, shift: Double): (Long, Tri) = {
       val lon = (i * 17.000170000017) % 340.0 - 170.0 + shift
