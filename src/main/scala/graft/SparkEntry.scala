@@ -41,6 +41,53 @@ object SparkEntry {
       |  doc_id * CAST(7.000070000007 AS DOUBLE) - floor(doc_id * CAST(7.000070000007 AS DOUBLE) / 170.0) * 170.0 - 85.0 AS lat
       |FROM documents""".stripMargin
 
+  /** Zigzag tracks from `events`: per-user consecutive segments whose
+    * coordinates are pure INTEGER triangle-waves (sin() is not
+    * oracle-portable — libm sin differs between engines in the last
+    * ULP; integer modular arithmetic is exact everywhere). Output:
+    * (user_id, seq, ax1, ay1, ax2, ay2), one row per segment.
+    */
+  private def zigzagSegs(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("event_id")
+    val coords = t(s, dir, "events")
+      .select(col("user_id").cast("long").as("user_id"), col("event_id"))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .withColumn("lon",
+        abs((col("user_id") * 13 + col("seq") * 17) % 336 - 168)
+          .cast("double") - lit(84.0))
+      .withColumn("lat",
+        abs((col("user_id") * 7 + col("seq") * 11) % 164 - 82)
+          .cast("double") - lit(41.0))
+    coords
+      .withColumn("ax2", lead(col("lon"), 1).over(w))
+      .withColumn("ay2", lead(col("lat"), 1).over(w))
+      .filter(col("ax2").isNotNull)
+      .select(col("user_id"), col("seq"),
+        col("lon").as("ax1"), col("lat").as("ay1"),
+        col("ax2"), col("ay2"))
+  }
+
+  /** The zigzag-track CTE chain (pts → coords → segs), replayed
+    * verbatim by the q113/q114 oracles; `segs` rows with NULL ax2 (the
+    * last point of each track) are filtered by the consumers.
+    */
+  private val zigzagSegsSql =
+    """pts AS (
+      |  SELECT CAST(user_id AS BIGINT) AS user_id,
+      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS seq
+      |  FROM events),
+      |coords AS MATERIALIZED (
+      |  SELECT user_id, seq,
+      |    CAST(abs((user_id * 13 + seq * 17) % 336 - 168) AS DOUBLE) - CAST(84.0 AS DOUBLE) AS lon,
+      |    CAST(abs((user_id * 7 + seq * 11) % 164 - 82) AS DOUBLE) - CAST(41.0 AS DOUBLE) AS lat
+      |  FROM pts),
+      |segs AS MATERIALIZED (
+      |  SELECT user_id, seq, lon AS ax1, lat AS ay1,
+      |    lead(lon) OVER (PARTITION BY user_id ORDER BY seq) AS ax2,
+      |    lead(lat) OVER (PARTITION BY user_id ORDER BY seq) AS ay2
+      |  FROM coords)""".stripMargin
+
   /** Two disjoint data-derived right-triangle sets for the overlay join
     * (q98): even doc_ids anchor set A at (lon, lat) with legs 2+id%5 /
     * 2+id%7, odd doc_ids anchor set B at (lon+1, lat+1) with legs
@@ -1121,32 +1168,27 @@ object SparkEntry {
     //      text shared verbatim with the oracle (q112 discipline) ----
     "q113_border_crossings" -> ((s, dir) => {
       import s.implicits._
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("event_id")
-      val coords = t(s, dir, "events")
-        .select(col("user_id").cast("long").as("user_id"), col("event_id"))
-        .withColumn("seq", row_number().over(w).cast("long"))
-        .withColumn("lon",
-          abs((col("user_id") * 13 + col("seq") * 17) % 336 - 168)
-            .cast("double") - lit(84.0))
-        .withColumn("lat",
-          abs((col("user_id") * 7 + col("seq") * 11) % 164 - 82)
-            .cast("double") - lit(41.0))
-      val segs = coords
-        .withColumn("ax2", lead(col("lon"), 1).over(w))
-        .withColumn("ay2", lead(col("lat"), 1).over(w))
-        .filter(col("ax2").isNotNull)
-        .select(col("user_id"), col("seq"),
-          col("lon").as("ax1"), col("lat").as("ay1"),
-          col("ax2"), col("ay2"))
       val edges = graft.sources.PolyRegistry.oracleTriangles.flatMap { p =>
         (0 until 3).map { e =>
           (p.adminId, e.toLong, p.xs(e), p.ys(e),
             p.xs((e + 1) % 3), p.ys((e + 1) % 3))
         }
       }.toDF("admin_id", "edge_id", "bx1", "by1", "bx2", "by2")
-      graft.operators.Overlay.segmentCrossJoin(segs, edges, cellDeg = 20.0)
+      graft.operators.Overlay.segmentCrossJoin(zigzagSegs(s, dir), edges,
+          cellDeg = 20.0)
         .select("user_id", "seq", "admin_id", "edge_id")
+    }),
+    // ---- region exposure: total in-polygon track length per (track,
+    //      admin region) — parametric half-plane interval clip per
+    //      candidate pair (shared-text kernel), lengths quantized to a
+    //      1e-9 integer grid before the per-group sum ----
+    "q114_region_exposure" -> ((s, dir) => {
+      import s.implicits._
+      val tris = graft.sources.PolyRegistry.oracleTriangles.map { p =>
+        (p.adminId, p.xs(0), p.ys(0), p.xs(1), p.ys(1), p.xs(2), p.ys(2))
+      }.toDF("admin_id", "bx1", "by1", "bx2", "by2", "bx3", "by3")
+      graft.operators.Trajectory.regionExposure(zigzagSegs(s, dir), tris,
+        cellDeg = 30.0)
     }),
     // ---- exact DBSCAN density clustering: ε-pairs via cell-ring
     //      candidates → core-point count agg → connected components
@@ -1798,26 +1840,35 @@ object SparkEntry {
             s"CAST(${p.ys((e + 1) % 3)} AS DOUBLE))"
         }
       }.mkString(",\n  ")
-      s"""WITH pts AS (
-        |  SELECT CAST(user_id AS BIGINT) AS user_id,
-        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS seq
-        |  FROM events),
-        |coords AS MATERIALIZED (
-        |  SELECT user_id, seq,
-        |    CAST(abs((user_id * 13 + seq * 17) % 336 - 168) AS DOUBLE) - CAST(84.0 AS DOUBLE) AS lon,
-        |    CAST(abs((user_id * 7 + seq * 11) % 164 - 82) AS DOUBLE) - CAST(41.0 AS DOUBLE) AS lat
-        |  FROM pts),
-        |segs AS MATERIALIZED (
-        |  SELECT user_id, seq, lon AS ax1, lat AS ay1,
-        |    lead(lon) OVER (PARTITION BY user_id ORDER BY seq) AS ax2,
-        |    lead(lat) OVER (PARTITION BY user_id ORDER BY seq) AS ay2
-        |  FROM coords),
+      s"""WITH $zigzagSegsSql,
         |edges(admin_id, edge_id, bx1, by1, bx2, by2) AS (VALUES
         |  $vals)
         |SELECT s.user_id, s.seq, CAST(e.admin_id AS BIGINT) AS admin_id,
         |  CAST(e.edge_id AS BIGINT) AS edge_id
         |FROM segs s CROSS JOIN edges e
         |WHERE s.ax2 IS NOT NULL AND $pred""".stripMargin
+    },
+    "q114_region_exposure" -> {
+      // identical clip-length text; quantize-then-sum replayed with the
+      // same 1e-9 grid; len > 0 filter matches the engine's
+      val len = graft.operators.Overlay.segTriClipLenSql(
+        "s.ax1", "s.ay1", "s.ax2", "s.ay2",
+        Seq(("t.bx1", "t.by1"), ("t.bx2", "t.by2"), ("t.bx3", "t.by3")))
+      val vals = graft.sources.PolyRegistry.oracleTriangles.map { p =>
+        s"(${p.adminId}, CAST(${p.xs(0)} AS DOUBLE), CAST(${p.ys(0)} AS DOUBLE), " +
+          s"CAST(${p.xs(1)} AS DOUBLE), CAST(${p.ys(1)} AS DOUBLE), " +
+          s"CAST(${p.xs(2)} AS DOUBLE), CAST(${p.ys(2)} AS DOUBLE))"
+      }.mkString(",\n  ")
+      s"""WITH $zigzagSegsSql,
+        |tris(admin_id, bx1, by1, bx2, by2, bx3, by3) AS (VALUES
+        |  $vals),
+        |pair AS MATERIALIZED (
+        |  SELECT s.user_id, t.admin_id, $len AS len
+        |  FROM segs s CROSS JOIN tris t WHERE s.ax2 IS NOT NULL)
+        |SELECT user_id, CAST(admin_id AS BIGINT) AS admin_id,
+        |  CAST(count(*) AS BIGINT) AS n_segs,
+        |  round(CAST(sum(CAST(floor(len * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE) / 1e9, 6) AS len_deg
+        |FROM pair WHERE len > 0 GROUP BY 1, 2""".stripMargin
     },
     "q112_nearest_polygon" -> {
       val bv = Seq(("bx1", "by1"), ("bx2", "by2"), ("bx3", "by3"))

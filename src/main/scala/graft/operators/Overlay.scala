@@ -234,6 +234,47 @@ object Overlay {
       .drop("__cx", "__cy", "__acx0", "__acy0", "__bcx0", "__bcy0")
   }
 
+  /** SQL text of the EXACT in-triangle length of a segment: parametric
+    * half-plane interval clipping. For each triangle edge, the signed
+    * side function is linear in the segment parameter t; multiplying by
+    * the edge's orientation sum normalizes "inside" to g(t) ≥ 0 WITHOUT
+    * a sign CASE (the crossing parameter gp/(gp−gq) is scale-invariant,
+    * and the comparisons are sign-only). The clipped interval is
+    * [max lowers, min uppers] and the length is its width times the
+    * segment length — `sqrt` is IEEE-exact-rounded in BOTH engines
+    * (unlike sin/log), so the text is portable. ONE string consumed by
+    * the engine (`expr`) and the oracle (the q112/q113 discipline).
+    * Division only occurs in mixed-sign CASE branches (gp ≠ gq there),
+    * which both engines evaluate lazily.
+    */
+  def segTriClipLenSql(ax1: String, ay1: String, ax2: String, ay2: String,
+                       v: Seq[(String, String)]): String = {
+    require(v.size == 3)
+    def orient(p: (String, String), q: (String, String),
+               rx: String, ry: String): String =
+      s"(((${q._1}) - (${p._1})) * (($ry) - (${p._2})) - " +
+        s"((${q._2}) - (${p._2})) * (($rx) - (${p._1})))"
+    val bounds = v.indices.map { i =>
+      val p = v(i); val q = v((i + 1) % 3)
+      val os = v.map(w => orient(p, q, w._1, w._2)).mkString("(", " + ", ")")
+      val gp = s"($os * ${orient(p, q, ax1, ay1)})"
+      val gq = s"($os * ${orient(p, q, ax2, ay2)})"
+      val t = s"($gp / ($gp - $gq))"
+      val lo = s"(CASE WHEN $gp >= 0 AND $gq >= 0 THEN CAST(0.0 AS DOUBLE) " +
+        s"WHEN $gp < 0 AND $gq < 0 THEN CAST(1.0 AS DOUBLE) " +
+        s"WHEN $gp >= 0 THEN CAST(0.0 AS DOUBLE) ELSE $t END)"
+      val hi = s"(CASE WHEN $gp >= 0 AND $gq >= 0 THEN CAST(1.0 AS DOUBLE) " +
+        s"WHEN $gp < 0 AND $gq < 0 THEN CAST(0.0 AS DOUBLE) " +
+        s"WHEN $gp >= 0 THEN $t ELSE CAST(1.0 AS DOUBLE) END)"
+      (lo, hi)
+    }
+    val tmin = s"greatest(${bounds.map(_._1).mkString(", ")})"
+    val tmax = s"least(${bounds.map(_._2).mkString(", ")})"
+    val dx = s"(($ax2) - ($ax1))"; val dy = s"(($ay2) - ($ay1))"
+    s"(CASE WHEN $tmax > $tmin THEN ($tmax - $tmin) * " +
+      s"sqrt($dx * $dx + $dy * $dy) ELSE CAST(0.0 AS DOUBLE) END)"
+  }
+
   /** Bridge from this engine's hull WKT (`POLYGON ((x y, …, x0 y0))`,
     * closing vertex repeated — [[Dbscan.clusterHulls]] output) to the
     * fixed-width padded vertex layout of [[convexIntersectsJoin]]:

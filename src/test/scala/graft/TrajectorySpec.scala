@@ -97,4 +97,76 @@ class TrajectorySpec extends AnyFunSuite {
         ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     assert(shuffled === out)
   }
+
+  test("region exposure: clipped length matches an independent serial clip; bounds hold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(31)
+    // random segments + random well-formed triangles
+    val segs = (0L until 200L).map { i =>
+      val x = rnd.nextDouble() * 200 - 100; val y = rnd.nextDouble() * 100 - 50
+      (i, 0L, x, y, x + rnd.nextDouble() * 40 - 20, y + rnd.nextDouble() * 40 - 20)
+    }
+    val tris = (0L until 10L).map { i =>
+      val cx = rnd.nextDouble() * 180 - 90; val cy = rnd.nextDouble() * 80 - 40
+      (i, cx, cy, cx + 10 + rnd.nextDouble() * 10, cy + rnd.nextDouble() * 4,
+        cx + rnd.nextDouble() * 4, cy + 10 + rnd.nextDouble() * 10)
+    }
+    // independent serial clip: sample-free parametric interval math
+    // written separately from the SQL generator
+    def clipLen(s: (Long, Long, Double, Double, Double, Double),
+                t: (Long, Double, Double, Double, Double, Double, Double)): Double = {
+      val vs = Seq((t._2, t._3), (t._4, t._5), (t._6, t._7))
+      def or(p: (Double, Double), q: (Double, Double), x: Double, y: Double) =
+        (q._1 - p._1) * (y - p._2) - (q._2 - p._2) * (x - p._1)
+      var lo = 0.0; var hi = 1.0
+      vs.indices.foreach { i =>
+        val p = vs(i); val q = vs((i + 1) % 3)
+        val os = vs.map(w => or(p, q, w._1, w._2)).sum
+        val gp = os * or(p, q, s._3, s._4)
+        val gq = os * or(p, q, s._5, s._6)
+        if (gp >= 0 && gq >= 0) ()
+        else if (gp < 0 && gq < 0) { lo = 1.0; hi = 0.0 }
+        else {
+          val tt = gp / (gp - gq)
+          if (gp >= 0) hi = math.min(hi, tt) else lo = math.max(lo, tt)
+        }
+      }
+      if (hi > lo)
+        (hi - lo) * math.sqrt((s._5 - s._3) * (s._5 - s._3) +
+          (s._6 - s._4) * (s._6 - s._4))
+      else 0.0
+    }
+    val want = (for { s <- segs; t <- tris
+      val l = clipLen(s, t) if l > 0 } yield ((s._1, t._1), l)).toMap
+    val out = graft.operators.Trajectory.regionExposure(
+      segs.toDF("user_id", "seq", "ax1", "ay1", "ax2", "ay2"),
+      tris.toDF("admin_id", "bx1", "by1", "bx2", "by2", "bx3", "by3"),
+      cellDeg = 25.0, idCols = Seq("user_id", "seq"))
+    val got = out.collect().map(r =>
+      ((r.getLong(0), r.getLong(2)), r.getDouble(4))).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-6, s"pair $k: $v vs ${want(k)}")
+    }
+    // bounds: every clipped length <= its segment's own length
+    val segLen = segs.map(s => s._1 -> math.sqrt(
+      (s._5 - s._3) * (s._5 - s._3) + (s._6 - s._4) * (s._6 - s._4))).toMap
+    got.foreach { case ((sid, _), v) => assert(v <= segLen(sid) + 1e-9) }
+    // fully-inside case: a tiny segment at a triangle centroid keeps
+    // its whole length
+    val t0 = tris.head
+    val (cx, cy) = ((t0._2 + t0._4 + t0._6) / 3, (t0._3 + t0._5 + t0._7) / 3)
+    val inner = Seq((99L, 0L, cx, cy, cx + 0.01, cy))
+      .toDF("user_id", "seq", "ax1", "ay1", "ax2", "ay2")
+    val innerOut = graft.operators.Trajectory.regionExposure(inner,
+      tris.toDF("admin_id", "bx1", "by1", "bx2", "by2", "bx3", "by3"),
+      cellDeg = 25.0, idCols = Seq("user_id"))
+      .filter(col("admin_id") === t0._1).collect()
+    assert(innerOut.length === 1 &&
+      math.abs(innerOut.head.getDouble(3) - 0.01) < 1e-6)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
