@@ -1178,6 +1178,30 @@ object SparkEntry {
           cellDeg = 20.0)
         .select("user_id", "seq", "admin_id", "edge_id")
     }),
+    // ---- dwell episodes (stay points at cell resolution): slowed
+    //      zigzag tracks (position advances every 5 events), maximal
+    //      same-cell runs via gaps-and-islands, gated on points and
+    //      event-time span — ONE window + ONE agg, both portable ----
+    "q115_dwell_episodes" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("event_id")
+      val pts = t(s, dir, "events")
+        .select(col("user_id").cast("long").as("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("tus"))
+        .withColumn("seq", row_number().over(w).cast("long"))
+        .withColumn("step", expr("seq div 5"))
+        .withColumn("lon",
+          abs((col("user_id") * 13 + col("step") * 17) % 336 - 168)
+            .cast("double") - lit(84.0))
+        .withColumn("lat",
+          abs((col("user_id") * 7 + col("step") * 11) % 164 - 82)
+            .cast("double") - lit(41.0))
+        .withColumn("cell",
+          floor(col("lon") / lit(10.0)).cast("long") * 1000 +
+            floor(col("lat") / lit(10.0)).cast("long"))
+      graft.operators.Trajectory.dwellEpisodes(pts, "user_id", "seq",
+        "cell", "tus", minPts = 4, minDurUs = 1L)
+    }),
     // ---- region exposure: total in-polygon track length per (track,
     //      admin region) — parametric half-plane interval clip per
     //      candidate pair (shared-text kernel), lengths quantized to a
@@ -1848,6 +1872,33 @@ object SparkEntry {
         |FROM segs s CROSS JOIN edges e
         |WHERE s.ax2 IS NOT NULL AND $pred""".stripMargin
     },
+    "q115_dwell_episodes" ->
+      // gaps-and-islands replay: identical slowed-zigzag coordinates
+      // (integer `//` division), identical run-id construction, same
+      // (n_pts, dur) gates; epoch_us mirrors unix_micros
+      """WITH pts AS (
+        |  SELECT CAST(user_id AS BIGINT) AS user_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS seq,
+        |    epoch_us(ts) AS tus
+        |  FROM events),
+        |coords AS MATERIALIZED (
+        |  SELECT user_id, seq, tus,
+        |    CAST(abs((user_id * 13 + (seq // 5) * 17) % 336 - 168) AS DOUBLE) - CAST(84.0 AS DOUBLE) AS lon,
+        |    CAST(abs((user_id * 7 + (seq // 5) * 11) % 164 - 82) AS DOUBLE) - CAST(41.0 AS DOUBLE) AS lat
+        |  FROM pts),
+        |cells AS MATERIALIZED (
+        |  SELECT user_id, seq, tus,
+        |    CAST(floor(lon / 10.0) AS BIGINT) * 1000 + CAST(floor(lat / 10.0) AS BIGINT) AS cell
+        |  FROM coords),
+        |runs AS MATERIALIZED (
+        |  SELECT user_id, seq, tus, cell,
+        |    seq - row_number() OVER (PARTITION BY user_id, cell ORDER BY seq) AS grp
+        |  FROM cells)
+        |SELECT user_id, cell, min(seq) AS start_seq,
+        |  CAST(count(*) AS BIGINT) AS n_pts,
+        |  max(tus) - min(tus) AS dur_us
+        |FROM runs GROUP BY user_id, cell, grp
+        |HAVING count(*) >= 4 AND max(tus) - min(tus) >= 1""".stripMargin,
     "q114_region_exposure" -> {
       // identical clip-length text; quantize-then-sum replayed with the
       // same 1e-9 grid; len > 0 filter matches the engine's

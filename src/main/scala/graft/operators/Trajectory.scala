@@ -100,4 +100,34 @@ object Trajectory {
         round(sum(col("__len_e9")).cast("double") / lit(1e9), 6)
           .as("len_deg"))
   }
+
+  /** DWELL EPISODES (stay-point detection at cell resolution): maximal
+    * runs of CONSECUTIVE track points inside one grid cell, kept when
+    * they span ≥ minPts points and ≥ minDurUs of event time — "where
+    * did this track stop". The run id is the classic gaps-and-islands
+    * construction (seq − row_number within (track, cell)): consecutive
+    * same-cell points share it, a cell revisit after leaving starts a
+    * new run. Pure window + aggregate — ONE (track, cell)-keyed window
+    * and ONE hash agg, both shuffles inherent; no self-join, no state.
+    *
+    * `points`: idCol, orderCol (consecutive 1..n per track — use
+    * row_number upstream), cellCol, tUsCol (epoch micros). Output:
+    * idCol, cellCol, start_seq, n_pts, dur_us.
+    */
+  def dwellEpisodes(points: DataFrame, idCol: String, orderCol: String,
+                    cellCol: String, tUsCol: String,
+                    minPts: Int, minDurUs: Long): DataFrame = {
+    require(minPts >= 1 && minDurUs >= 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol, cellCol).orderBy(orderCol)
+    points
+      .withColumn("__grp", col(orderCol) - row_number().over(w))
+      .groupBy(col(idCol), col(cellCol), col("__grp"))
+      .agg(min(col(orderCol)).as("start_seq"),
+        count(lit(1)).as("n_pts"),
+        (max(col(tUsCol)) - min(col(tUsCol))).as("dur_us"))
+      .filter(col("n_pts") >= minPts && col("dur_us") >= minDurUs)
+      .select(col(idCol), col(cellCol), col("start_seq"),
+        col("n_pts"), col("dur_us"))
+  }
 }

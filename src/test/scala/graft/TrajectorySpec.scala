@@ -169,4 +169,49 @@ class TrajectorySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("dwell episodes: revisits split runs; gates apply; serial parity on random walks") {
+    import spark.implicits._
+    // hand case: A A A B A A C C C C → runs (A,1..3) (B,4) (A,5..6) (C,7..10)
+    val hand = Seq("A", "A", "A", "B", "A", "A", "C", "C", "C", "C")
+      .zipWithIndex.map { case (c, i) =>
+        (1L, (i + 1).toLong, c.hashCode.toLong, (i + 1) * 1000L) }
+    val got = graft.operators.Trajectory.dwellEpisodes(
+      hand.toDF("user_id", "seq", "cell", "tus"),
+      "user_id", "seq", "cell", "tus", minPts = 2, minDurUs = 0L)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got === Set((1L, 3L, 2000L), (5L, 2L, 1000L), (7L, 4L, 3000L)))
+
+    // serial parity on seeded random cell walks with sticky cells
+    val rnd = new scala.util.Random(47)
+    val walks = (0L until 20L).flatMap { u =>
+      var cell = 0L
+      (1L to 50L).map { s =>
+        if (rnd.nextDouble() < 0.4) cell = rnd.nextInt(5).toLong
+        (u, s, cell, s * 37L + u)
+      }
+    }
+    def serial(pts: Seq[(Long, Long, Long, Long)]) =
+      pts.groupBy(_._1).toSeq.flatMap { case (u, ps) =>
+        val sorted = ps.sortBy(_._2)
+        val runs = scala.collection.mutable.ArrayBuffer
+          .empty[scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]]
+        sorted.foreach { p =>
+          if (runs.nonEmpty && runs.last.last._3 == p._3) runs.last += p
+          else runs += scala.collection.mutable.ArrayBuffer(p)
+        }
+        runs.filter(r => r.size >= 3 &&
+            r.map(_._4).max - r.map(_._4).min >= 1)
+          .map(r => (u, r.head._3, r.head._2, r.size.toLong,
+            r.map(_._4).max - r.map(_._4).min))
+      }.toSet
+    val want = serial(walks)
+    val out = graft.operators.Trajectory.dwellEpisodes(
+      walks.toDF("user_id", "seq", "cell", "tus"),
+      "user_id", "seq", "cell", "tus", minPts = 3, minDurUs = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(out === want)
+    assert(want.nonEmpty)
+  }
 }
