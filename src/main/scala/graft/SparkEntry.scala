@@ -1202,6 +1202,32 @@ object SparkEntry {
       graft.operators.Trajectory.dwellEpisodes(pts, "user_id", "seq",
         "cell", "tus", minPts = 4, minDurUs = 1L)
     }),
+    // ---- origin–destination flow matrix: per (origin cell, dest cell)
+    //      transition counts + distinct movers from consecutive track
+    //      points — ONE track-keyed window + ONE hash agg (the standard
+    //      mobility rollup; same slowed-zigzag cells as q115) ----
+    "q116_od_flows" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("event_id")
+      val pts = t(s, dir, "events")
+        .select(col("user_id").cast("long").as("user_id"), col("event_id"))
+        .withColumn("seq", row_number().over(w).cast("long"))
+        .withColumn("step", expr("seq div 5"))
+        .withColumn("lon",
+          abs((col("user_id") * 13 + col("step") * 17) % 336 - 168)
+            .cast("double") - lit(84.0))
+        .withColumn("lat",
+          abs((col("user_id") * 7 + col("step") * 11) % 164 - 82)
+            .cast("double") - lit(41.0))
+        .withColumn("cell",
+          floor(col("lon") / lit(10.0)).cast("long") * 1000 +
+            floor(col("lat") / lit(10.0)).cast("long"))
+      pts.withColumn("dest", lead(col("cell"), 1).over(w))
+        .filter(col("dest").isNotNull && col("dest") =!= col("cell"))
+        .groupBy(col("cell").as("o_cell"), col("dest").as("d_cell"))
+        .agg(count(lit(1)).as("n_trips"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
     // ---- region exposure: total in-polygon track length per (track,
     //      admin region) — parametric half-plane interval clip per
     //      candidate pair (shared-text kernel), lengths quantized to a
@@ -1872,6 +1898,30 @@ object SparkEntry {
         |FROM segs s CROSS JOIN edges e
         |WHERE s.ax2 IS NOT NULL AND $pred""".stripMargin
     },
+    "q116_od_flows" ->
+      // identical cell derivation + lead window; counts are exact longs
+      """WITH pts AS (
+        |  SELECT CAST(user_id AS BIGINT) AS user_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS seq
+        |  FROM events),
+        |coords AS MATERIALIZED (
+        |  SELECT user_id, seq,
+        |    CAST(abs((user_id * 13 + (seq // 5) * 17) % 336 - 168) AS DOUBLE) - CAST(84.0 AS DOUBLE) AS lon,
+        |    CAST(abs((user_id * 7 + (seq // 5) * 11) % 164 - 82) AS DOUBLE) - CAST(41.0 AS DOUBLE) AS lat
+        |  FROM pts),
+        |cells AS MATERIALIZED (
+        |  SELECT user_id, seq,
+        |    CAST(floor(lon / 10.0) AS BIGINT) * 1000 + CAST(floor(lat / 10.0) AS BIGINT) AS cell
+        |  FROM coords),
+        |hops AS MATERIALIZED (
+        |  SELECT user_id, cell,
+        |    lead(cell) OVER (PARTITION BY user_id ORDER BY seq) AS dest
+        |  FROM cells)
+        |SELECT cell AS o_cell, dest AS d_cell,
+        |  CAST(count(*) AS BIGINT) AS n_trips,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM hops WHERE dest IS NOT NULL AND dest <> cell
+        |GROUP BY 1, 2""".stripMargin,
     "q115_dwell_episodes" ->
       // gaps-and-islands replay: identical slowed-zigzag coordinates
       // (integer `//` division), identical run-id construction, same
