@@ -41,6 +41,73 @@ object SparkEntry {
       |  doc_id * CAST(7.000070000007 AS DOUBLE) - floor(doc_id * CAST(7.000070000007 AS DOUBLE) / 170.0) * 170.0 - 85.0 AS lat
       |FROM documents""".stripMargin
 
+  /** The grid-DBSCAN (q104) replay as a reusable CTE chain ending in
+    * `lab(doc_id, role, cluster_id)` — weighted floor-cell reps, Σw core
+    * condition, recursive closure, point inheritance. Parameterized over
+    * the point source and the (cellDeg, eps, minPts) triple so the q104
+    * labeling oracle (uniform lattice) and the q117 dispersion oracle
+    * (8-blob input) share it. Callers open with `WITH RECURSIVE`.
+    */
+  private def gridDbscanLabelsCte(ptsSql: String, cellDeg: Double,
+                                  eps: Double, minPts: Int): String =
+    s"""pts AS ($ptsSql),
+      |cells AS MATERIALIZED (
+      |  SELECT CAST(floor((lon + 180.0) / $cellDeg) AS BIGINT) AS cx,
+      |    CAST(floor((lat + 90.0) / $cellDeg) AS BIGINT) AS cy,
+      |    count(*) AS w
+      |  FROM pts GROUP BY 1, 2),
+      |reps AS MATERIALIZED (
+      |  SELECT cx * 100000 + cy AS rep,
+      |    (CAST(cx AS DOUBLE) + 0.5) * $cellDeg - 180.0 AS rlon,
+      |    (CAST(cy AS DOUBLE) + 0.5) * $cellDeg - 90.0 AS rlat, w
+      |  FROM cells),
+      |d AS MATERIALIZED (
+      |  SELECT a.rep AS qa, b.rep AS qb, b.w AS wb
+      |  FROM reps a JOIN reps b
+      |    ON (a.rlon - b.rlon) * (a.rlon - b.rlon)
+      |     + (a.rlat - b.rlat) * (a.rlat - b.rlat) <= $eps * $eps),
+      |cores AS MATERIALIZED (
+      |  SELECT qa AS id FROM d GROUP BY qa HAVING sum(wb) >= $minPts),
+      |edges AS MATERIALIZED (
+      |  SELECT d.qa AS src, d.qb AS dst FROM d
+      |  JOIN cores c1 ON d.qa = c1.id JOIN cores c2 ON d.qb = c2.id),
+      |reach(a, b) AS (
+      |  SELECT id, id FROM cores
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+      |cc AS MATERIALIZED (
+      |  SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a),
+      |border AS MATERIALIZED (
+      |  SELECT d.qa AS id, min(cc.cluster_id) AS cluster_id
+      |  FROM d JOIN cc ON d.qb = cc.id
+      |  WHERE d.qa NOT IN (SELECT id FROM cores)
+      |  GROUP BY d.qa),
+      |prep AS (
+      |  SELECT doc_id,
+      |    CAST(floor((lon + 180.0) / $cellDeg) AS BIGINT) * 100000
+      |      + CAST(floor((lat + 90.0) / $cellDeg) AS BIGINT) AS rep
+      |  FROM pts),
+      |lab AS MATERIALIZED (
+      |  SELECT p.doc_id,
+      |    CASE WHEN cc.id IS NOT NULL THEN 'core'
+      |         WHEN bo.id IS NOT NULL THEN 'border'
+      |         ELSE 'noise' END AS role,
+      |    coalesce(cc.cluster_id, bo.cluster_id, -1) AS cluster_id
+      |  FROM prep p
+      |  LEFT JOIN cc ON p.rep = cc.id
+      |  LEFT JOIN border bo ON p.rep = bo.id)""".stripMargin
+
+  /** The 8-blob point cloud SQL (the q103/q106 anchored-blob transform
+    * of the derived points): anchor = doc_id % 8, derived point scaled
+    * to ±9°/±4.5° jitter. All literals exact doubles; the tree matches
+    * the Column version term for term.
+    */
+  private lazy val blobPointsSql =
+    s"""SELECT doc_id,
+      |  CAST(doc_id % 8 AS DOUBLE) * 45.0 - 157.5 + lon * CAST(0.05 AS DOUBLE) AS lon,
+      |  CAST(doc_id % 8 AS DOUBLE) * 20.0 - 70.0 + lat * CAST(0.05 AS DOUBLE) AS lat
+      |FROM ($derivedPointsSql)""".stripMargin
+
   /** Zigzag tracks from `events`: per-user consecutive segments whose
     * coordinates are pure INTEGER triangle-waves (sin() is not
     * oracle-portable — libm sin differs between engines in the last
@@ -1058,6 +1125,41 @@ object SparkEntry {
     "q104_grid_dbscan" -> ((s, dir) => {
       graft.operators.Dbscan.clusterGrid(derivedPoints(s, dir), "doc_id",
         epsDeg = 20.0, minPts = 10, cellDeg = 4.0, res = 0)
+    }),
+    // ---- cluster dispersion (mean center + standard distance): the
+    //      classic spatial-statistics profile of each q104 cluster from
+    //      ONE aggregate pass — E[x²]−E[x]² over per-row 1e-9-quantized
+    //      longs, so the distributed sums are order-insensitive and the
+    //      final doubles evaluate identically in both engines ----
+    "q117_cluster_dispersion" -> ((s, dir) => {
+      val pts = derivedPoints(s, dir).select(col("doc_id"),
+        ((col("doc_id") % 8).cast("double") * lit(45.0) - lit(157.5)
+          + col("lon") * lit(0.05)).as("lon"),
+        ((col("doc_id") % 8).cast("double") * lit(20.0) - lit(70.0)
+          + col("lat") * lit(0.05)).as("lat"))
+      val labels = graft.operators.Dbscan.clusterGrid(pts, "doc_id",
+        epsDeg = 5.0, minPts = 8, cellDeg = 0.25, res = 1)
+        .filter(col("role") =!= "noise")
+        .select(col("doc_id"), col("cluster_id"))
+      def q9(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e9) + lit(0.5)).cast("long")
+      val agg = pts.join(labels, Seq("doc_id"))
+        .select(col("cluster_id"),
+          q9(col("lon")).as("xl"), q9(col("lon") * col("lon")).as("xl2"),
+          q9(col("lat")).as("yl"), q9(col("lat") * col("lat")).as("yl2"))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_pts"),
+          sum(col("xl")).as("sx"), sum(col("xl2")).as("sx2"),
+          sum(col("yl")).as("sy"), sum(col("yl2")).as("sy2"))
+      def m(s1: org.apache.spark.sql.Column) =
+        s1.cast("double") / lit(1e9) / col("n_pts")
+      agg.select(col("cluster_id"), col("n_pts"),
+        round(m(col("sx")), 6).as("cen_lon"),
+        round(m(col("sy")), 6).as("cen_lat"),
+        round(sqrt(greatest(lit(0.0),
+          m(col("sx2")) - m(col("sx")) * m(col("sx")) +
+            (m(col("sy2")) - m(col("sy")) * m(col("sy"))))), 6)
+          .as("std_dist"))
     }),
     // ---- hot-region polygons: convex hull per DBSCAN cluster (core+
     //      border members) — registry-sized output regardless of member
@@ -2612,51 +2714,36 @@ object SparkEntry {
       // weighted-rep replay: floor-cell reps (exact integer ids +
       // center-coordinate formula text), Σw core condition, recursive
       // closure over rep edges, points inherit via the same floor rep
-      s"""WITH RECURSIVE pts AS ($derivedPointsSql),
-        |cells AS MATERIALIZED (
-        |  SELECT CAST(floor((lon + 180.0) / 4.0) AS BIGINT) AS cx,
-        |    CAST(floor((lat + 90.0) / 4.0) AS BIGINT) AS cy,
-        |    count(*) AS w
-        |  FROM pts GROUP BY 1, 2),
-        |reps AS MATERIALIZED (
-        |  SELECT cx * 100000 + cy AS rep,
-        |    (CAST(cx AS DOUBLE) + 0.5) * 4.0 - 180.0 AS rlon,
-        |    (CAST(cy AS DOUBLE) + 0.5) * 4.0 - 90.0 AS rlat, w
-        |  FROM cells),
-        |d AS MATERIALIZED (
-        |  SELECT a.rep AS qa, b.rep AS qb, b.w AS wb
-        |  FROM reps a JOIN reps b
-        |    ON (a.rlon - b.rlon) * (a.rlon - b.rlon)
-        |     + (a.rlat - b.rlat) * (a.rlat - b.rlat) <= 20.0 * 20.0),
-        |cores AS MATERIALIZED (
-        |  SELECT qa AS id FROM d GROUP BY qa HAVING sum(wb) >= 10),
-        |edges AS MATERIALIZED (
-        |  SELECT d.qa AS src, d.qb AS dst FROM d
-        |  JOIN cores c1 ON d.qa = c1.id JOIN cores c2 ON d.qb = c2.id),
-        |reach(a, b) AS (
-        |  SELECT id, id FROM cores
-        |  UNION
-        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
-        |cc AS MATERIALIZED (
-        |  SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a),
-        |border AS MATERIALIZED (
-        |  SELECT d.qa AS id, min(cc.cluster_id) AS cluster_id
-        |  FROM d JOIN cc ON d.qb = cc.id
-        |  WHERE d.qa NOT IN (SELECT id FROM cores)
-        |  GROUP BY d.qa),
-        |prep AS (
-        |  SELECT doc_id,
-        |    CAST(floor((lon + 180.0) / 4.0) AS BIGINT) * 100000
-        |      + CAST(floor((lat + 90.0) / 4.0) AS BIGINT) AS rep
-        |  FROM pts)
-        |SELECT p.doc_id,
-        |  CASE WHEN cc.id IS NOT NULL THEN 'core'
-        |       WHEN bo.id IS NOT NULL THEN 'border'
-        |       ELSE 'noise' END AS role,
-        |  coalesce(cc.cluster_id, bo.cluster_id, -1) AS cluster_id
-        |FROM prep p
-        |LEFT JOIN cc ON p.rep = cc.id
-        |LEFT JOIN border bo ON p.rep = bo.id""".stripMargin,
+      s"""WITH RECURSIVE ${gridDbscanLabelsCte(derivedPointsSql, 4.0, 20.0, 10)}
+        |SELECT doc_id, role, cluster_id FROM lab""".stripMargin,
+    "q117_cluster_dispersion" ->
+      // the q104 label CTE over the 8-BLOB input + one aggregate pass:
+      // per-row 1e-9-quantized longs make the distributed sums
+      // order-insensitive; the final double expressions mirror the
+      // engine's tree term for term
+      s"""WITH RECURSIVE ${gridDbscanLabelsCte(blobPointsSql, 0.25, 5.0, 8)},
+        |q AS MATERIALIZED (
+        |  SELECT l.cluster_id,
+        |    CAST(floor(p.lon * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS xl,
+        |    CAST(floor(p.lon * p.lon * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS xl2,
+        |    CAST(floor(p.lat * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS yl,
+        |    CAST(floor(p.lat * p.lat * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS yl2
+        |  FROM lab l JOIN pts p ON l.doc_id = p.doc_id
+        |  WHERE l.role <> 'noise'),
+        |a AS MATERIALIZED (
+        |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_pts,
+        |    CAST(sum(xl) AS BIGINT) AS sx, CAST(sum(xl2) AS BIGINT) AS sx2,
+        |    CAST(sum(yl) AS BIGINT) AS sy, CAST(sum(yl2) AS BIGINT) AS sy2
+        |  FROM q GROUP BY 1)
+        |SELECT cluster_id, n_pts,
+        |  round(CAST(sx AS DOUBLE) / 1e9 / n_pts, 6) AS cen_lon,
+        |  round(CAST(sy AS DOUBLE) / 1e9 / n_pts, 6) AS cen_lat,
+        |  round(sqrt(greatest(CAST(0.0 AS DOUBLE),
+        |    CAST(sx2 AS DOUBLE) / 1e9 / n_pts
+        |      - (CAST(sx AS DOUBLE) / 1e9 / n_pts) * (CAST(sx AS DOUBLE) / 1e9 / n_pts)
+        |      + (CAST(sy2 AS DOUBLE) / 1e9 / n_pts
+        |        - (CAST(sy AS DOUBLE) / 1e9 / n_pts) * (CAST(sy AS DOUBLE) / 1e9 / n_pts)))), 6) AS std_dist
+        |FROM a""".stripMargin,
     "q102_st_dbscan" ->
       // q101's recursive-CTE replay with the spatio-temporal pair
       // predicate; 3.0 * 86400e6 µs = the 3-day εt, exact in double
