@@ -197,6 +197,34 @@ class OverlaySpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("wktConvexCols: ring parsed to padded fixed-width doubles; non-POLYGON dropped; over-width raises") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "POLYGON ((0.5 1.25, 4.5 1.25, 4.5 6.75, 0.5 1.25))"), // triangle
+      (2L, "POLYGON ((10 10, 14 10, 14 14, 10 14, 10 10))"),       // quad
+      (3L, "LINESTRING (0 0, 1 1)"),                               // degenerate hull
+      (4L, "POINT (2 2)"))
+    val out = Overlay.wktConvexCols(rows.toDF("id", "wkt"), "id", "wkt",
+      maxN = 5, prefix = "a").collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(1L, 2L)) // non-POLYGON rows dropped
+    val t = out(1L)
+    // closing vertex is stripped; short ring pads by repeating the last
+    assert((1 to 5).map(i => (t.getDouble(2 * i - 1), t.getDouble(2 * i))) ===
+      Seq((0.5, 1.25), (4.5, 1.25), (4.5, 6.75), (4.5, 6.75), (4.5, 6.75)))
+    val q = out(2L)
+    assert((q.getDouble(1), q.getDouble(2), q.getDouble(7), q.getDouble(8)) ===
+      ((10.0, 10.0, 10.0, 14.0)))
+    // a ring wider than maxN fails fast instead of silently truncating
+    val wide = Seq((9L,
+      "POLYGON ((0 0, 1 0, 2 1, 2 2, 1 3, 0 3, -1 2, -1 1, 0 0))"))
+    val e = intercept[Exception] {
+      Overlay.wktConvexCols(wide.toDF("id", "wkt"), "id", "wkt",
+        maxN = 4, prefix = "a").collect()
+    }
+    assert(String.valueOf(e.getMessage).contains("maxN") ||
+      String.valueOf(e.getCause).contains("maxN"))
+  }
+
   test("brute-force parity on scattered sets; equi-join plan (no cartesian)") {
     def tri(i: Long, shift: Double): (Long, Tri) = {
       val lon = (i * 17.000170000017) % 340.0 - 170.0 + shift
