@@ -1280,6 +1280,36 @@ object SparkEntry {
           cellDeg = 20.0)
         .select("user_id", "seq", "admin_id", "edge_id")
     }),
+    // ---- emerging-hotspot analysis: per cell, event counts in the
+    //      early vs late half of the time range (midpoint = integer div
+    //      of min+max epoch-micros — a 1-row broadcast stats anchor),
+    //      classified emerging / declining / stable on exact integer
+    //      ratios; the temporal trend layer over the density map ----
+    "q118_emerging_hotspots" -> ((s, dir) => {
+      val pts = t(s, dir, "events")
+        .select(col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("tus"))
+        .withColumn("lon", col("event_id") * lit(17.000170000017) -
+          floor(col("event_id") * lit(17.000170000017) / 360.0) * 360.0 - 180.0)
+        .withColumn("lat", col("event_id") * lit(7.000070000007) -
+          floor(col("event_id") * lit(7.000070000007) / 170.0) * 170.0 - 85.0)
+        .withColumn("cell",
+          floor(col("lon") / lit(15.0)).cast("long") * 1000 +
+            floor(col("lat") / lit(15.0)).cast("long"))
+      val mid = pts.agg(
+        expr("(min(tus) + max(tus)) div 2").as("mid"))
+      pts.crossJoin(broadcast(mid))
+        .groupBy("cell")
+        .agg(sum(when(col("tus") <= col("mid"), 1L).otherwise(0L))
+            .as("n_early"),
+          sum(when(col("tus") > col("mid"), 1L).otherwise(0L))
+            .as("n_late"))
+        .filter(col("n_early") + col("n_late") >= 12)
+        .withColumn("trend",
+          when(col("n_late") >= col("n_early") * 2, lit("emerging"))
+            .when(col("n_early") >= col("n_late") * 2, lit("declining"))
+            .otherwise(lit("stable")))
+    }),
     // ---- dwell episodes (stay points at cell resolution): slowed
     //      zigzag tracks (position advances every 5 events), maximal
     //      same-cell runs via gaps-and-islands, gated on points and
@@ -2000,6 +2030,30 @@ object SparkEntry {
         |FROM segs s CROSS JOIN edges e
         |WHERE s.ax2 IS NOT NULL AND $pred""".stripMargin
     },
+    "q118_emerging_hotspots" ->
+      // identical derived coordinates + 15° cells; midpoint via integer
+      // //; exact integer counts and ratio thresholds — no doubles in
+      // any compared value
+      """WITH pts AS (
+        |  SELECT event_id, epoch_us(ts) AS tus,
+        |    event_id * CAST(17.000170000017 AS DOUBLE) - floor(event_id * CAST(17.000170000017 AS DOUBLE) / 360.0) * 360.0 - 180.0 AS lon,
+        |    event_id * CAST(7.000070000007 AS DOUBLE) - floor(event_id * CAST(7.000070000007 AS DOUBLE) / 170.0) * 170.0 - 85.0 AS lat
+        |  FROM events),
+        |cells AS MATERIALIZED (
+        |  SELECT tus,
+        |    CAST(floor(lon / 15.0) AS BIGINT) * 1000 + CAST(floor(lat / 15.0) AS BIGINT) AS cell
+        |  FROM pts),
+        |stats AS (SELECT (min(tus) + max(tus)) // 2 AS mid FROM cells),
+        |agg AS MATERIALIZED (
+        |  SELECT cell,
+        |    CAST(sum(CASE WHEN c.tus <= s.mid THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+        |    CAST(sum(CASE WHEN c.tus > s.mid THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        |  FROM cells c CROSS JOIN stats s GROUP BY cell)
+        |SELECT cell, n_early, n_late,
+        |  CASE WHEN n_late >= n_early * 2 THEN 'emerging'
+        |       WHEN n_early >= n_late * 2 THEN 'declining'
+        |       ELSE 'stable' END AS trend
+        |FROM agg WHERE n_early + n_late >= 12""".stripMargin,
     "q116_od_flows" ->
       // identical cell derivation + lead window; counts are exact longs
       """WITH pts AS (
