@@ -281,7 +281,8 @@ object Bench {
       "q103_cluster_hulls", "q104_grid_dbscan", "q105_convex_overlay",
       "q106_grid_hulls", "q108_contour_segments", "q109_polygonize",
       "q110_clip_area", "q112_nearest_polygon", "q113_border_crossings",
-      "q114_region_exposure", "q115_dwell_episodes", "q116_od_flows", "q117_cluster_dispersion", "q118_emerging_hotspots")
+      "q114_region_exposure", "q115_dwell_episodes", "q116_od_flows", "q117_cluster_dispersion", "q118_emerging_hotspots",
+      "q119_cluster_anisotropy")
     val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") == "1"
     // per-query shuffle-write MB + cpu_sec: the plan-quality and
     // steal-attribution evidence. Both are captured from the WINNING

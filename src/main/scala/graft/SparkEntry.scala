@@ -1161,6 +1161,45 @@ object SparkEntry {
             (m(col("sy2")) - m(col("sy")) * m(col("sy"))))), 6)
           .as("std_dist"))
     }),
+    // ---- cluster anisotropy (standard deviational ellipse semi-axes):
+    //      the q117 moments extended with E[xy] — the covariance
+    //      eigenvalues need only +−×÷ and sqrt, all portable, so the
+    //      full ellipse-axis formula ships in the oracle (orientation
+    //      would need atan2, which is libm-dependent — omitted) ----
+    "q119_cluster_anisotropy" -> ((s, dir) => {
+      val pts = derivedPoints(s, dir).select(col("doc_id"),
+        ((col("doc_id") % 8).cast("double") * lit(45.0) - lit(157.5)
+          + col("lon") * lit(0.05)).as("lon"),
+        ((col("doc_id") % 8).cast("double") * lit(20.0) - lit(70.0)
+          + col("lat") * lit(0.05)).as("lat"))
+      val labels = graft.operators.Dbscan.clusterGrid(pts, "doc_id",
+        epsDeg = 5.0, minPts = 8, cellDeg = 0.25, res = 1)
+        .filter(col("role") =!= "noise")
+        .select(col("doc_id"), col("cluster_id"))
+      def q9(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e9) + lit(0.5)).cast("long")
+      val agg = pts.join(labels, Seq("doc_id"))
+        .select(col("cluster_id"),
+          q9(col("lon")).as("xl"), q9(col("lon") * col("lon")).as("xl2"),
+          q9(col("lat")).as("yl"), q9(col("lat") * col("lat")).as("yl2"),
+          q9(col("lon") * col("lat")).as("xyl"))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_pts"),
+          sum(col("xl")).as("sx"), sum(col("xl2")).as("sx2"),
+          sum(col("yl")).as("sy"), sum(col("yl2")).as("sy2"),
+          sum(col("xyl")).as("sxy"))
+      def m(s1: org.apache.spark.sql.Column) =
+        s1.cast("double") / lit(1e9) / col("n_pts")
+      val vx = m(col("sx2")) - m(col("sx")) * m(col("sx"))
+      val vy = m(col("sy2")) - m(col("sy")) * m(col("sy"))
+      val cv = m(col("sxy")) - m(col("sx")) * m(col("sy"))
+      val half = (vx + vy) / lit(2.0)
+      val disc = sqrt((vx - vy) / lit(2.0) * ((vx - vy) / lit(2.0)) + cv * cv)
+      agg.select(col("cluster_id"), col("n_pts"),
+        round(sqrt(greatest(lit(0.0), half + disc)), 6).as("axis_major"),
+        round(sqrt(greatest(lit(0.0), half - disc)), 6).as("axis_minor"),
+        round(cv, 6).as("cov"))
+    }),
     // ---- hot-region polygons: convex hull per DBSCAN cluster (core+
     //      border members) — registry-sized output regardless of member
     //      count; the polygon layer a tile map draws over the density ----
@@ -2770,6 +2809,38 @@ object SparkEntry {
       // closure over rep edges, points inherit via the same floor rep
       s"""WITH RECURSIVE ${gridDbscanLabelsCte(derivedPointsSql, 4.0, 20.0, 10)}
         |SELECT doc_id, role, cluster_id FROM lab""".stripMargin,
+    "q119_cluster_anisotropy" -> {
+      // q117's quantized moments + E[xy]; the eigenvalue formula uses
+      // only +−×÷ and sqrt, every subexpression tree mirrored verbatim
+      def mm(c: String) = s"CAST($c AS DOUBLE) / 1e9 / n_pts"
+      val vx = s"(${mm("sx2")} - (${mm("sx")}) * (${mm("sx")}))"
+      val vy = s"(${mm("sy2")} - (${mm("sy")}) * (${mm("sy")}))"
+      val cv = s"(${mm("sxy")} - (${mm("sx")}) * (${mm("sy")}))"
+      val half = s"(($vx + $vy) / 2.0)"
+      val disc =
+        s"(sqrt(($vx - $vy) / 2.0 * (($vx - $vy) / 2.0) + $cv * $cv))"
+      s"""WITH RECURSIVE ${gridDbscanLabelsCte(blobPointsSql, 0.25, 5.0, 8)},
+        |q AS MATERIALIZED (
+        |  SELECT l.cluster_id,
+        |    CAST(floor(p.lon * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS xl,
+        |    CAST(floor(p.lon * p.lon * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS xl2,
+        |    CAST(floor(p.lat * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS yl,
+        |    CAST(floor(p.lat * p.lat * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS yl2,
+        |    CAST(floor(p.lon * p.lat * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS xyl
+        |  FROM lab l JOIN pts p ON l.doc_id = p.doc_id
+        |  WHERE l.role <> 'noise'),
+        |a AS MATERIALIZED (
+        |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_pts,
+        |    CAST(sum(xl) AS BIGINT) AS sx, CAST(sum(xl2) AS BIGINT) AS sx2,
+        |    CAST(sum(yl) AS BIGINT) AS sy, CAST(sum(yl2) AS BIGINT) AS sy2,
+        |    CAST(sum(xyl) AS BIGINT) AS sxy
+        |  FROM q GROUP BY 1)
+        |SELECT cluster_id, n_pts,
+        |  round(sqrt(greatest(CAST(0.0 AS DOUBLE), $half + $disc)), 6) AS axis_major,
+        |  round(sqrt(greatest(CAST(0.0 AS DOUBLE), $half - $disc)), 6) AS axis_minor,
+        |  round($cv, 6) AS cov
+        |FROM a""".stripMargin
+    },
     "q117_cluster_dispersion" ->
       // the q104 label CTE over the 8-BLOB input + one aggregate pass:
       // per-row 1e-9-quantized longs make the distributed sums
