@@ -1343,7 +1343,7 @@ object SparkEntry {
             .as("n_early"),
           sum(when(col("tus") > col("mid"), 1L).otherwise(0L))
             .as("n_late"))
-        .filter(col("n_early") + col("n_late") >= 12)
+        .filter(col("n_early") + col("n_late") >= 3)
         .withColumn("trend",
           when(col("n_late") >= col("n_early") * 2, lit("emerging"))
             .when(col("n_early") >= col("n_late") * 2, lit("declining"))
@@ -2092,7 +2092,7 @@ object SparkEntry {
         |  CASE WHEN n_late >= n_early * 2 THEN 'emerging'
         |       WHEN n_early >= n_late * 2 THEN 'declining'
         |       ELSE 'stable' END AS trend
-        |FROM agg WHERE n_early + n_late >= 12""".stripMargin,
+        |FROM agg WHERE n_early + n_late >= 3""".stripMargin,
     "q116_od_flows" ->
       // identical cell derivation + lead window; counts are exact longs
       """WITH pts AS (
