@@ -83,17 +83,24 @@ object Dbscan {
       .filter(col("__n") >= minPts)
       .select(col("q_id").as("id"))
       .localCheckpoint(true)
-    val coreEdges = pairs
-      .join(cores.select(col("id").as("q_id")), Seq("q_id"), "left_semi")
-      .join(cores.select(col("id").as("p_id")), Seq("p_id"), "left_semi")
-      .filter(col("q_id") < col("p_id"))
-      .select(col("q_id").as("id_a"), col("p_id").as("id_b"))
-    // min-label components over core-core edges; cores with no core
-    // neighbor are singleton clusters of themselves
-    val cc = Dedup.connectedComponents(coreEdges)
-    val coreLabels = cores
-      .join(cc, Seq("id"), "left")
-      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    // geometric contraction (see contractedCoreLabels): cores keyed by an
+    // eps/2 supercell — same-cell cores are pairwise ≤ eps/√2 < eps apart,
+    // i.e. true ε-graph neighbors, so components are unchanged. For
+    // ST-DBSCAN the supercell gains an εt/2 time slab: same-slab members
+    // are within εt, so the temporal edge condition holds inside a cell
+    // too (a purely spatial supercell would merge cores that are NOT
+    // temporally reachable).
+    val s2 = epsDeg / 2.0
+    val coreCell = points.select(
+      Seq(col(idCol).cast("long").as("id"),
+        floor(col("lon") / lit(s2)).cast("long").as("__sc1"),
+        floor(col("lat") / lit(s2)).cast("long").as("__sc2")) ++
+        timeEps.map { case (tCol, et) =>
+          (if (et > 0.0)
+             floor(col(tCol).cast("double") / lit(et / 2.0)).cast("long")
+           else col(tCol).cast("double")).as("__sc3") }: _*)
+      .join(cores, Seq("id"), "left_semi")
+    val coreLabels = contractedCoreLabels(pairs, coreCell)
       .localCheckpoint(true)
     val borderLabels = pairs
       .join(cores.select(col("id").as("q_id")), Seq("q_id"), "left_anti")
@@ -147,24 +154,27 @@ object Dbscan {
     val qs = reps.select(col("__rep").as("q_id"), col("__rlon").as("q_lon"),
       col("__rlat").as("q_lat"))
     val ps = reps.select(col("__rep").as("p_id"), col("__rlon").as("lon"),
-      col("__rlat").as("lat"))
-    val pairs = KnnJoin.withinRadius(qs, ps, epsDeg, res)
-      .select("q_id", "p_id").localCheckpoint(true)
-    val wts = reps.select(col("__rep").as("p_id"), col("__w"))
-    val cores = pairs.join(wts, Seq("p_id"))
+      col("__rlat").as("lat"), col("__w"))
+    // the rep weight rides the ONE cell equi join as a carry column, so
+    // the weighted core count needs no join-back against the rep table
+    val pairs = KnnJoin.withinRadius(qs, ps, epsDeg, res, carry = Seq("__w"))
+      .select("q_id", "p_id", "__w").localCheckpoint(true)
+    val cores = pairs
       .groupBy("q_id").agg(sum("__w").as("__n"))
       .filter(col("__n") >= minPts)
       .select(col("q_id").as("id"))
       .localCheckpoint(true)
-    val coreEdges = pairs
-      .join(cores.select(col("id").as("q_id")), Seq("q_id"), "left_semi")
-      .join(cores.select(col("id").as("p_id")), Seq("p_id"), "left_semi")
-      .filter(col("q_id") < col("p_id"))
-      .select(col("q_id").as("id_a"), col("p_id").as("id_b"))
-    val cc = Dedup.connectedComponents(coreEdges)
-    val coreLabels = cores.join(cc, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    // geometric contraction over k×k lattice blocks, k·cellDeg ≤ eps/2:
+    // same-block rep centers are pairwise < eps/√2 < eps apart (true
+    // ε-graph neighbors), so components over the contracted graph equal
+    // components over the full core-core edge set
+    val k = math.max(1L, math.floor((epsDeg / 2.0) / cellDeg).toLong)
+    val coreCell = reps.select(col("__rep").as("id"),
+        floor(col("__cx") / lit(k)).cast("long").as("__sc1"),
+        floor(col("__cy") / lit(k)).cast("long").as("__sc2"))
+      .join(cores, Seq("id"), "left_semi")
+    val coreLabels = contractedCoreLabels(pairs.select("q_id", "p_id"),
+        coreCell)
       .localCheckpoint(true)
     val borderLabels = pairs
       .join(cores.select(col("id").as("q_id")), Seq("q_id"), "left_anti")
@@ -179,6 +189,50 @@ object Dbscan {
       .select(col(idCol),
         coalesce(col("role"), lit("noise")).as("role"),
         coalesce(col("cluster_id"), lit(-1L)).as("cluster_id"))
+  }
+
+  /** Core labels via GEOMETRIC CONTRACTION of the core-core ε-graph —
+    * the optimization that keeps connected components off the full pair
+    * set. `coreCell` maps every core id to a supercell (columns named
+    * `__sc*`) chosen by the caller so that any two members of one
+    * supercell are TRUE ε-graph neighbors (pairwise distance ≤ eps/√2 <
+    * eps; for ST also |Δt| ≤ εt). Then:
+    *
+    *  - contraction only adds edges that exist in the true graph
+    *    (intra-cell cliques), and every true edge survives as a
+    *    supercell edge or intra-cell pair ⇒ components are IDENTICAL;
+    *  - the supernode id is the min core id of its cell (unique — cells
+    *    partition the cores), so the component minimum over supernodes
+    *    IS the component minimum over cores — the exact label the
+    *    uncontracted closure computes.
+    *
+    * The contracted edge set is bounded by occupied-supercell geometry
+    * (cells of size eps/2 — the world holds ≤ 360·180/(eps/2)² of them),
+    * not by |pairs|: a 10⁸-member dense blob contributes a handful of
+    * supercell edges instead of 10¹⁶ core-core edges through the
+    * component supersteps. Returns (id, cluster_id) for every core.
+    */
+  private def contractedCoreLabels(pairs: DataFrame,
+                                   coreCell: DataFrame): DataFrame = {
+    val scCols = coreCell.columns.filter(_.startsWith("__sc")).toSeq
+    val cellMin = coreCell.groupBy(scCols.map(col): _*)
+      .agg(min(col("id")).as("__cid"))
+    val coreNode = coreCell.join(cellMin, scCols)
+      .select(col("id"), col("__cid"))
+      .localCheckpoint(true)
+    // inner joins double as the old core/core semi-filters: only pairs
+    // with BOTH endpoints core survive, now carrying their supernode ids
+    val superEdges = pairs
+      .join(coreNode.select(col("id").as("q_id"), col("__cid").as("__ca")),
+        Seq("q_id"))
+      .join(coreNode.select(col("id").as("p_id"), col("__cid").as("__cb")),
+        Seq("p_id"))
+      .filter(col("__ca") =!= col("__cb"))
+      .select(col("__ca").as("id_a"), col("__cb").as("id_b"))
+    val cc = Dedup.connectedComponents(superEdges)
+    coreNode.join(cc, coreNode("__cid") === cc("id"), "left")
+      .select(coreNode("id"),
+        coalesce(col("cluster_id"), col("__cid")).as("cluster_id"))
   }
 
   /** Hot-region polygons: the convex hull of every cluster's member

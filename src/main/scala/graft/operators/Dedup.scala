@@ -551,12 +551,57 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
     val edges = pairs.select(col(idA).cast("long").as("src"),
       col(idB).cast("long").as("dst"))
-    val sym = edges
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") =!= col("dst"))
-      .distinct().cache()
+    // canonicalize to src<dst FIRST: the distinct shuffles half the rows
+    // the old symmetric-union-then-distinct did, and the symmetric set is
+    // recovered by a free map (the two halves are disjoint by order)
+    val uniq = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .distinct().localCheckpoint(true)
+    // Scale-adaptive fast path: a BOUNDED edge set (the contracted
+    // supercell graphs of Dbscan, polygonize's region adjacency, small
+    // dedup families) resolves in one driver-side union-find instead of
+    // O(log diameter) supersteps of ~3 jobs each — the superstep chain's
+    // fixed per-job latency dominates whenever the data is small (guide
+    // §1.2: fix the algorithm before the configuration). Above the
+    // threshold (env SPARK_GRAFT_CC_COLLECT_MAX, default 4M edges ≈
+    // 200 MB of boxed tuples on the driver — sized for a production
+    // driver heap, not this sandbox) the distributed superstep path runs
+    // unchanged, so 100 TB edge sets never touch the driver.
+    val collectMax = sys.env.getOrElse("SPARK_GRAFT_CC_COLLECT_MAX",
+      "4000000").toLong
+    val nEdges = uniq.count()
+    if (nEdges <= collectMax) {
+      val es = uniq.as[(Long, Long)].collect()
+      // union-find, union-by-min root + path compression: the root of a
+      // set is always its minimum member, so the final find(id) IS the
+      // transitive-closure min label the superstep path computes
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent(rb) = ra
+        else if (rb < ra) parent(ra) = rb
+      }
+      val out = parent.keys.toArray.map(id => (id, find(id)))
+      return spark.createDataset(out.toIndexedSeq)
+        .toDF("id", "cluster_id")
+    }
+    val sym = uniq
+      .union(uniq.select(col("dst").as("src"), col("src").as("dst")))
+      .cache()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint(true)
