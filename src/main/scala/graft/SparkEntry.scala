@@ -1238,11 +1238,19 @@ object SparkEntry {
           + col("lon") * lit(0.05)).as("lon"),
         ((col("doc_id") % 8).cast("double") * lit(20.0) - lit(70.0)
           + col("lat") * lit(0.05)).as("lat"))
+      // cluster-count-sized barriers: wktConvexCols inlines its WKT
+      // parse into all 48 coordinate columns and the 24-gon SAT
+      // references each column ~27× — without the checkpoint the
+      // collapsed projection is a multiplicatively-exploded expression
+      // tree whose codegen COMPILE dominates the query (plan text was
+      // 176 KB; seconds of driver-side janino for an 8-row join)
       val hulls = graft.operators.Dbscan.clusterGridHulls(pts, "doc_id",
         epsDeg = 5.0, minPts = 8, cellDeg = 0.25, res = 1)
+        .localCheckpoint(true)
       val a = graft.operators.Overlay.wktConvexCols(
         hulls.select(col("cluster_id").as("a_id"), col("wkt")),
         "a_id", "wkt", maxN = 24, prefix = "a")
+        .localCheckpoint(true)
       import s.implicits._
       val b = graft.sources.PolyRegistry.oracleTriangles.map { p =>
         (p.adminId, p.xs(0), p.ys(0), p.xs(1), p.ys(1), p.xs(2), p.ys(2))
@@ -1267,13 +1275,19 @@ object SparkEntry {
           + col("lon") * lit(0.05)).as("lon"),
         ((col("doc_id") % 8).cast("double") * lit(20.0) - lit(70.0)
           + col("lat") * lit(0.05)).as("lat"))
+      // hulls feed TWO consumers (the parsed vertex layout and the
+      // n_pts/area stats join) — the checkpoint stops the whole
+      // label+hull chain from evaluating twice, and the barrier after
+      // the parse stops the q107-style expression blowup (see q107)
       val hulls = graft.operators.Dbscan.clusterGridHulls(pts, "doc_id",
         epsDeg = 5.0, minPts = 8, cellDeg = 0.25, res = 1)
+        .localCheckpoint(true)
       val a = graft.operators.Overlay.wktConvexCols(
         hulls.select(col("cluster_id").as("a_id"), col("wkt")),
         "a_id", "wkt", maxN = 24, prefix = "a")
         .join(hulls.select(col("cluster_id").as("a_id"), col("n_pts"),
           col("area").as("hull_area")), Seq("a_id"))
+        .localCheckpoint(true)
       import s.implicits._
       val b = graft.sources.PolyRegistry.oracleTriangles.map { p =>
         (p.adminId, p.xs(0), p.ys(0), p.xs(1), p.ys(1), p.xs(2), p.ys(2))

@@ -149,6 +149,32 @@ case class ClipAreaExpr(first: Expression, second: Expression,
     copy(f, s, t, q)
 }
 
+/** convex_sat(axs, ays, bxs, bys) → Boolean — exact closed intersection
+  * of two convex rings (separating-axis test, core/ConvexSat). The
+  * array-kernel form of Overlay.convexIntersects: identical arithmetic
+  * in identical order, but a constant-size codegen footprint where the
+  * Column tree grows O(n²) nodes with ring width.
+  */
+case class ConvexSatExpr(first: Expression, second: Expression,
+                         third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean =
+    first.nullable || second.nullable || third.nullable || fourth.nullable
+  override def prettyName: String = "convex_sat"
+  private def arr(a: Any): Array[Double] =
+    a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+  override protected def nullSafeEval(ax: Any, ay: Any, bx: Any, by: Any): Any =
+    graft.core.ConvexSat.intersects(arr(ax), arr(ay), arr(bx), arr(by))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (ax, ay, bx, by) =>
+      s"graft.core.ConvexSat.intersects($ax.toDoubleArray(), " +
+        s"$ay.toDoubleArray(), $bx.toDoubleArray(), $by.toDoubleArray())")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(f, s, t, q)
+}
+
 object geo {
   import org.apache.spark.sql.GraftBridge.{column, expression}
 
@@ -165,6 +191,9 @@ object geo {
     column(RingStatsExpr(expression(xs), expression(ys)))
   def clip_area(axs: Column, ays: Column, bxs: Column, bys: Column): Column =
     column(ClipAreaExpr(expression(axs), expression(ays),
+      expression(bxs), expression(bys)))
+  def convex_sat(axs: Column, ays: Column, bxs: Column, bys: Column): Column =
+    column(ConvexSatExpr(expression(axs), expression(ays),
       expression(bxs), expression(bys)))
 
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

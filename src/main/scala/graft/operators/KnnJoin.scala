@@ -65,6 +65,9 @@ object KnnJoin {
       .join(pts, col("__cell") === col("__pcell"))
       .withColumn("__d2", d2(col("q_lon"), col("q_lat"), col("lon"), col("lat")))
     val wq = Window.partitionBy("q_id").orderBy(col("__d2").asc)
+    // one row per query — checkpointed so the probe/window/agg subtree
+    // runs ONCE: it previously re-evaluated in the sparse-queries check
+    // AND again under the phase-2 action (only sparseQ was truncated)
     val bounds = probe
       .withColumn("__rn", row_number().over(wq))
       .filter(col("__rn") <= k)
@@ -72,6 +75,7 @@ object KnnJoin {
       .agg(max(col("__d2")).as("__dk"), count(lit(1)).as("__found"))
       .select(col("q_id"),
         when(col("__found") >= k, sqrt(col("__dk"))).as("__radius"))
+      .localCheckpoint(true)
 
     val qsWithR = qs.join(bounds, Seq("q_id"), "left")
     val filled = qsWithR.filter(col("__radius").isNotNull)

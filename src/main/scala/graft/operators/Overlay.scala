@@ -140,7 +140,16 @@ object Overlay {
       // max bbox-min corner (shared by both covers iff bboxes overlap)
       .filter(col("__cx") === greatest(col("__acx0"), col("__bcx0")) &&
         col("__cy") === greatest(col("__acy0"), col("__bcy0")))
-      .filter(convexIntersects(verts("a", nA), verts("b", nB)))
+      // the SAT runs as the array-kernel twin of [[convexIntersects]]
+      // (ConvexSat — identical arithmetic and order, bit-identical
+      // decisions): the Column tree is O((nA+nB)²) orientation nodes,
+      // and at hull widths (n=24) its codegen COMPILE time dwarfed the
+      // 8-row join it guarded
+      .filter(graft.functions.geo.convex_sat(
+        array((1 to nA).map(i => col(s"ax$i")): _*),
+        array((1 to nA).map(i => col(s"ay$i")): _*),
+        array((1 to nB).map(i => col(s"bx$i")): _*),
+        array((1 to nB).map(i => col(s"by$i")): _*)))
       .drop(dropCols: _*)
   }
 
