@@ -38,43 +38,81 @@ object Scratch {
         ((col("doc_id") % 8).cast("double") * lit(20.0) - lit(70.0)
           + col("lat") * lit(0.05)).as("lat"))
     }
-    // warmup
-    t("warm_labels") {
+    // warmup full chain once
+    t("warm") {
       graft.operators.Dbscan.clusterGrid(pts, "doc_id",
         epsDeg = 5.0, minPts = 8, cellDeg = 0.25, res = 1).count()
     }
-    t("labels") {
+    // step-by-step replay of clusterGrid internals
+    val cellDeg = 0.25; val epsDeg = 5.0; val minPts = 8; val res = 1
+    var withCell: DataFrame = null
+    var reps: DataFrame = null
+    var pairs: DataFrame = null
+    var cores: DataFrame = null
+    t("reps_ckpt") {
+      withCell = pts
+        .withColumn("__cx",
+          floor((col("lon") + lit(180.0)) / lit(cellDeg)).cast("long"))
+        .withColumn("__cy",
+          floor((col("lat") + lit(90.0)) / lit(cellDeg)).cast("long"))
+        .withColumn("__rep", col("__cx") * lit(100000L) + col("__cy"))
+      reps = withCell.groupBy("__cx", "__cy", "__rep")
+        .agg(count(lit(1)).as("__w"))
+        .withColumn("__rlon",
+          (col("__cx").cast("double") + lit(0.5)) * lit(cellDeg) - lit(180.0))
+        .withColumn("__rlat",
+          (col("__cy").cast("double") + lit(0.5)) * lit(cellDeg) - lit(90.0))
+        .localCheckpoint(true)
+      reps.rdd.getNumPartitions
+    }
+    t("pairs_ckpt") {
+      val qs = reps.select(col("__rep").as("q_id"), col("__rlon").as("q_lon"),
+        col("__rlat").as("q_lat"))
+      val ps = reps.select(col("__rep").as("p_id"), col("__rlon").as("lon"),
+        col("__rlat").as("lat"), col("__w"))
+      pairs = graft.operators.KnnJoin.withinRadius(qs, ps, epsDeg, res,
+          carry = Seq("__w"))
+        .select("q_id", "p_id", "__w").localCheckpoint(true)
+      s"${pairs.rdd.getNumPartitions}p"
+    }
+    t("pairs_count") { pairs.count() }
+    t("cores_ckpt") {
+      cores = pairs
+        .groupBy("q_id").agg(sum("__w").as("__n"))
+        .filter(col("__n") >= minPts)
+        .select(col("q_id").as("id"))
+        .localCheckpoint(true)
+      cores.rdd.getNumPartitions
+    }
+    t("labels_rest") {
+      val k = math.max(1L, math.floor((epsDeg / 2.0) / cellDeg).toLong)
+      val coreCell = reps.select(col("__rep").as("id"),
+          floor(col("__cx") / lit(k)).cast("long").as("__sc1"),
+          floor(col("__cy") / lit(k)).cast("long").as("__sc2"))
+        .join(cores, Seq("id"), "left_semi")
+      // mirror contractedCoreLabels
+      val cellMin = coreCell.groupBy(col("__sc1"), col("__sc2"))
+        .agg(min(col("id")).as("__cid"))
+      val coreNode = coreCell.join(cellMin, Seq("__sc1", "__sc2"))
+        .select(col("id"), col("__cid"))
+        .localCheckpoint(true)
+      val superEdges = pairs
+        .join(coreNode.select(col("id").as("q_id"), col("__cid").as("__ca")),
+          Seq("q_id"))
+        .join(coreNode.select(col("id").as("p_id"), col("__cid").as("__cb")),
+          Seq("p_id"))
+        .filter(col("__ca") =!= col("__cb"))
+        .select(col("__ca").as("id_a"), col("__cb").as("id_b"))
+      val cc = graft.operators.Dedup.connectedComponents(superEdges)
+      val coreLabels = coreNode.join(cc, coreNode("__cid") === cc("id"), "left")
+        .select(coreNode("id"),
+          coalesce(col("cluster_id"), col("__cid")).as("cluster_id"))
+        .localCheckpoint(true)
+      coreLabels.count()
+    }
+    t("full_again") {
       graft.operators.Dbscan.clusterGrid(pts, "doc_id",
         epsDeg = 5.0, minPts = 8, cellDeg = 0.25, res = 1).count()
-    }
-    var hulls: DataFrame = null
-    t("hulls_ckpt") {
-      hulls = graft.operators.Dbscan.clusterGridHulls(pts, "doc_id",
-        epsDeg = 5.0, minPts = 8, cellDeg = 0.25, res = 1)
-        .localCheckpoint(true)
-      hulls.count()
-    }
-    var a: DataFrame = null
-    t("wkt_parse_ckpt") {
-      a = graft.operators.Overlay.wktConvexCols(
-        hulls.select(col("cluster_id").as("a_id"), col("wkt")),
-        "a_id", "wkt", maxN = 24, prefix = "a")
-        .localCheckpoint(true)
-      a.count()
-    }
-    t("overlay_join") {
-      import s.implicits._
-      val b = graft.sources.PolyRegistry.oracleTriangles.map { p =>
-        (p.adminId, p.xs(0), p.ys(0), p.xs(1), p.ys(1), p.xs(2), p.ys(2))
-      }.toDF("b_id", "bx1", "by1", "bx2", "by2", "bx3", "by3")
-      graft.operators.Overlay.convexIntersectsJoin(a, b, nA = 24, nB = 3,
-        cellDeg = 45.0, validate = false).count()
-    }
-    t("full_q107") {
-      SparkEntry.queries("q107_hull_admin_overlay")(s, sfDir).count()
-    }
-    t("full_q107_again") {
-      SparkEntry.queries("q107_hull_admin_overlay")(s, sfDir).count()
     }
     spark.stop()
   }

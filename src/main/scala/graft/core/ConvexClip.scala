@@ -40,9 +40,11 @@ object ConvexClip {
     val nb = bx.length
     // normalize the CLIP ring to CCW so inside = left-or-on each edge
     val ccw = signedArea2(bx, by, nb) >= 0.0
-    // working buffers: one S-H pass against a convex clip ring can add
-    // at most one vertex per clip edge
-    val cap = ax.length + nb + 4
+    // working buffers: one S-H pass against a convex clip ring adds at
+    // most one vertex per clip edge for exactly convex intermediates;
+    // FP-perturbed near-collinear rings can produce extra sign changes,
+    // so size defensively (2×) rather than rely on the convex bound
+    val cap = 2 * (ax.length + nb) + 4
     var curX = new Array[Double](cap); var curY = new Array[Double](cap)
     var nxtX = new Array[Double](cap); var nxtY = new Array[Double](cap)
     System.arraycopy(ax, 0, curX, 0, ax.length)

@@ -100,8 +100,10 @@ object Dbscan {
              floor(col(tCol).cast("double") / lit(et / 2.0)).cast("long")
            else col(tCol).cast("double")).as("__sc3") }: _*)
       .join(cores, Seq("id"), "left_semi")
+    // no checkpoint: both consumers re-derive it as ONE join over the
+    // checkpointed coreNode and the (small or checkpointed) component
+    // labels — cheaper than another materialization job
     val coreLabels = contractedCoreLabels(pairs, coreCell)
-      .localCheckpoint(true)
     val borderLabels = pairs
       .join(cores.select(col("id").as("q_id")), Seq("q_id"), "left_anti")
       .join(coreLabels.select(col("id").as("p_id"),
@@ -173,9 +175,9 @@ object Dbscan {
         floor(col("__cx") / lit(k)).cast("long").as("__sc1"),
         floor(col("__cy") / lit(k)).cast("long").as("__sc2"))
       .join(cores, Seq("id"), "left_semi")
+    // no checkpoint — same reasoning as clusterST's coreLabels
     val coreLabels = contractedCoreLabels(pairs.select("q_id", "p_id"),
         coreCell)
-      .localCheckpoint(true)
     val borderLabels = pairs
       .join(cores.select(col("id").as("q_id")), Seq("q_id"), "left_anti")
       .join(coreLabels.select(col("id").as("p_id"), col("cluster_id")),

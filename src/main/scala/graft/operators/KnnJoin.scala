@@ -53,6 +53,9 @@ object KnnJoin {
     */
   def knn(queries: DataFrame, points: DataFrame, k: Int, res: Int = 4,
           probeRings: Int = 2): DataFrame = {
+    // probeRings = 0 would pin the ring-doubling re-probe at 0 rings
+    // forever (0·2 = 0): the sparse-query loop must be able to grow
+    require(probeRings >= 1, "probeRings must be >= 1")
     val inradius = HexGrid.radius(res) * math.sqrt(3.0) / 2.0
     val pts = points
       .withColumn("__pcell", geo.hex_cell(col("lon"), col("lat"), lit(res)))
