@@ -96,9 +96,13 @@ object KnnJoin {
     // fewer than k points in total.
     val worldRings = math.ceil(
       math.sqrt(360.0 * 360.0 + 180.0 * 180.0) / inradius).toInt + 1
+    // lazy on purpose: in the common all-dense case the loop guard's
+    // head(1) is the only consumer (one cheap job over the checkpointed
+    // bounds), so an eager materialization here would be a wasted
+    // blocking action; iterations that DO run re-checkpoint on
+    // reassignment below
     var sparseQ = qsWithR.filter(col("__radius").isNull)
       .select("q_id", "q_lon", "q_lat", "__qcell")
-      .localCheckpoint(true)
     var rings = probeRings
     val graduated = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var leftover: DataFrame = null // total-coverage candidates (< k points)
