@@ -59,7 +59,8 @@ object CellCompact {
     * makes recompute exponential in the cascade depth.
     */
   def compact(cells: DataFrame, cellCol: String,
-              groupCols: Seq[String] = Nil): DataFrame = {
+              groupCols: Seq[String] = Nil,
+              collectMax: Long = -1L): DataFrame = {
     val g = groupCols.map(col)
     var cur = cells.select((g :+ col(cellCol).cast("long").as("cell")): _*)
       .distinct().localCheckpoint(true)
@@ -71,9 +72,13 @@ object CellCompact {
     // path runs unchanged, so planet-scale fine-level covers never
     // touch the driver. Grouped compaction stays on the generic path
     // (group columns are arbitrary types).
-    val collectMax = sys.env.getOrElse("SPARK_GRAFT_COMPACT_COLLECT_MAX",
-      "4000000").toLong
-    if (groupCols.isEmpty && cur.count() <= collectMax) {
+    // collectMax < 0 (the default) defers to the env knob; an explicit
+    // value wins — tests pass 0 to force the superstep path
+    val cMax =
+      if (collectMax >= 0L) collectMax
+      else sys.env.getOrElse("SPARK_GRAFT_COMPACT_COLLECT_MAX",
+        "4000000").toLong
+    if (groupCols.isEmpty && cur.count() <= cMax) {
       val spark = cells.sparkSession
       import spark.implicits._
       val set = new java.util.HashSet[java.lang.Long]()

@@ -550,7 +550,8 @@ object Dedup {
     * coalesce(cluster_id, id) to include them.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+                          idB: String = "id_b", maxIter: Int = 20,
+                          collectMax: Long = -1L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val edges = pairs.select(col(idA).cast("long").as("src"),
@@ -572,10 +573,13 @@ object Dedup {
     // 200 MB of boxed tuples on the driver — sized for a production
     // driver heap, not this sandbox) the distributed superstep path runs
     // unchanged, so 100 TB edge sets never touch the driver.
-    val collectMax = sys.env.getOrElse("SPARK_GRAFT_CC_COLLECT_MAX",
-      "4000000").toLong
+    // collectMax < 0 (the default) defers to the env knob; an explicit
+    // value wins — tests pass 0 to force the superstep path
+    val cMax =
+      if (collectMax >= 0L) collectMax
+      else sys.env.getOrElse("SPARK_GRAFT_CC_COLLECT_MAX", "4000000").toLong
     val nEdges = uniq.count()
-    if (nEdges <= collectMax) {
+    if (nEdges <= cMax) {
       val es = uniq.as[(Long, Long)].collect()
       // union-find, union-by-min root + path compression: the root of a
       // set is always its minimum member, so the final find(id) IS the

@@ -88,4 +88,17 @@ class CellCompactSpec extends AnyFunSuite {
     val lone = Seq(S2.cellId(0.0, 0.0, 5), S2.cellId(45.0, 90.0, 7))
     assert(cellSet(CellCompact.compact(toDf(lone), "cell")) === lone.toSet)
   }
+
+  test("driver fast path and superstep path reach the same fixpoint") {
+    // the q59 construction: 500 consecutive level-12 cells on face 2 —
+    // a multi-level cascade with a leftover tail at every level
+    def cellAt(level: Int, pos: Long): Long =
+      (2L << 61) | (pos << (2 * (30 - level) + 1)) | (1L << (2 * (30 - level)))
+    val input = toDf((0L until 500L).map(cellAt(12, _)))
+    val driver = cellSet(CellCompact.compact(input, "cell",
+      collectMax = Long.MaxValue))
+    val superstep = cellSet(CellCompact.compact(input, "cell",
+      collectMax = 0L)) // forces the distributed cascade
+    assert(driver === superstep)
+  }
 }

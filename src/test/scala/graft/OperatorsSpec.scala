@@ -544,6 +544,25 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === expected)
   }
+
+  test("driver fast path and superstep path produce identical labels") {
+    import spark.implicits._
+    // chain ∪ clique ∪ bridged star ∪ isolated pair, with duplicate and
+    // reversed edges thrown in — exercises dedup, symmetry, min labels
+    val edges = (1L until 9L).map(i => (i - 1, i)) ++ // chain 0..8
+      (for (a <- 100L to 104L; b <- 100L to 104L if a < b) yield (a, b)) ++
+      Seq((200L, 201L), (200L, 202L), (200L, 203L), (203L, 8L)) ++
+      Seq((300L, 301L), (301L, 300L), (300L, 301L)) // dups + reversed
+    val df = edges.toDF("id_a", "id_b")
+    def labels(collectMax: Long): Map[Long, Long] =
+      graft.operators.Dedup
+        .connectedComponents(df, collectMax = collectMax)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val driver = labels(collectMax = Long.MaxValue)
+    val superstep = labels(collectMax = 0L) // forces the distributed path
+    assert(driver === superstep)
+    assert(driver.values.toSet === Set(0L, 100L, 300L)) // star merged into chain
+  }
 }
 
 class BpeTokenSpec extends AnyFunSuite {
